@@ -1,0 +1,128 @@
+"""Griffin-Lim phase reconstruction as a fused XLA loop.
+
+Replaces the reference's per-utterance CPU librosa.griffinlim calls
+(crank/utils/utils.py:237-269) with a batched `lax.fori_loop` on device —
+momentum-accelerated (fast) Griffin-Lim with random phase init, matching
+librosa's algorithm (momentum=0.99). Frame counts are bucketed to bound the
+number of compiled shapes.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from crank_tpu.dsp.mel import mel_pseudo_inverse
+from crank_tpu.dsp.stft_jax import _istft_impl, _stft_impl, full_window
+
+_WAV_MAX = 0.999969482421875  # int16 positive full-scale, as in the reference
+
+
+@partial(
+    jax.jit, static_argnames=("n_fft", "hop_size", "n_iters", "momentum")
+)
+def _griffin_lim_impl(S, win, key, *, n_fft, hop_size, n_iters, momentum):
+    """S: magnitude [B, T, F]; returns waveform [B, hop_size*(T-1)]."""
+    S = S.astype(jnp.float32)
+    phase = jnp.exp(
+        2j * jnp.pi * jax.random.uniform(key, S.shape, dtype=jnp.float32)
+    )
+    angles = S.astype(jnp.complex64) * phase
+    beta = momentum / (1.0 + momentum)
+
+    def body(_, carry):
+        angles, rebuilt_prev = carry
+        inverse = _istft_impl(
+            angles, win, n_fft=n_fft, hop_size=hop_size, center=True, length=None
+        )
+        rebuilt = _stft_impl(
+            inverse, win, n_fft=n_fft, hop_size=hop_size, center=True,
+            pad_mode="reflect",
+        )
+        upd = rebuilt - beta * rebuilt_prev
+        upd = upd / (jnp.abs(upd) + 1e-16)
+        return S * upd, rebuilt
+
+    angles, _ = jax.lax.fori_loop(
+        0, n_iters, body, (angles, jnp.zeros_like(angles))
+    )
+    return _istft_impl(
+        angles, win, n_fft=n_fft, hop_size=hop_size, center=True, length=None
+    )
+
+
+def griffin_lim(
+    spc,
+    n_fft=1024,
+    hop_size=128,
+    win_length=None,
+    window="hann",
+    n_iters=100,
+    momentum=0.99,
+    seed=0,
+):
+    """Reconstruct waveform(s) from linear magnitude spectrogram(s).
+
+    spc: [T, F] or [B, T, F] magnitude (F = 1 + n_fft//2).
+    Returns float32 waveform(s) clipped to [-1, ~1) like the reference
+    (crank/utils/utils.py:258-268).
+    """
+    spc = jnp.asarray(spc)
+    squeeze = spc.ndim == 2
+    if squeeze:
+        spc = spc[None]
+    win_length = n_fft if win_length is None else win_length
+    win = jnp.asarray(full_window(window, win_length, n_fft), dtype=jnp.float32)
+    y = _griffin_lim_impl(
+        jnp.abs(spc),
+        win,
+        jax.random.PRNGKey(seed),
+        n_fft=n_fft,
+        hop_size=hop_size,
+        n_iters=n_iters,
+        momentum=momentum,
+    )
+    y = jnp.clip(y, -1.0, _WAV_MAX)
+    return np.asarray(y[0] if squeeze else y)
+
+
+def _bucket_len(t: int, bucket: int = 128) -> int:
+    return int(-(-t // bucket) * bucket)
+
+
+def mlfb_to_wav(
+    mlfb,
+    fs=22050,
+    n_mels=80,
+    n_fft=1024,
+    win_length=1024,
+    hop_size=128,
+    fmin=80,
+    fmax=7600,
+    window="hann",
+    n_iters=100,
+    bucket=128,
+):
+    """log-mel [T, n_mels] -> waveform via pinv(mel) + Griffin-Lim.
+
+    Equivalent of the reference's mlfb2wav (crank/utils/utils.py:94-107).
+    Frame count is right-padded to a bucket multiple (single compiled shape per
+    bucket) and the synthesized tail trimmed.
+    """
+    mlfb = np.asarray(mlfb)
+    t_real = mlfb.shape[0]
+    t_pad = _bucket_len(max(t_real, 2), bucket)
+    inv_basis = mel_pseudo_inverse(fs, n_fft, n_mels, fmin, fmax)
+    mspc = np.power(10.0, mlfb)
+    spc = mspc @ inv_basis.T
+    spc = np.pad(spc, ((0, t_pad - t_real), (0, 0)))
+    y = griffin_lim(
+        np.abs(spc),
+        n_fft=n_fft,
+        hop_size=hop_size,
+        win_length=win_length,
+        window=window,
+        n_iters=n_iters,
+    )
+    return np.asarray(y)[: hop_size * (t_real - 1)]
