@@ -1,0 +1,86 @@
+"""Shared conv building blocks ([B, T, C] layout, TPU-friendly feature-last)."""
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class Conv1d(nn.Module):
+    """1-D convolution over time with optional weight normalization.
+
+    ``causal=True`` left-pads by the full receptive extent (reference parity:
+    PWG's use_causal_conv); otherwise symmetric 'same' padding is used.
+    """
+
+    features: int
+    kernel_size: int = 1
+    dilation: int = 1
+    use_bias: bool = True
+    causal: bool = False
+    weight_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        span = (self.kernel_size - 1) * self.dilation
+        padding = [(span, 0)] if self.causal else [(span // 2, span - span // 2)]
+        conv = nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size,),
+            kernel_dilation=(self.dilation,),
+            padding=padding,
+            use_bias=self.use_bias,
+        )
+        if self.weight_norm:
+            conv = nn.WeightNorm(conv, variable_filter={"kernel"})
+        return conv(x)
+
+
+class ResidualBlock(nn.Module):
+    """WaveNet gated residual block (PWG ResidualBlock semantics).
+
+    Gated tanh/sigmoid activation with optional 1x1 auxiliary conditioning,
+    1x1 projections to residual and skip paths, sqrt(0.5)-scaled residual sum.
+    Reference architecture: the ParallelWaveGANGenerator blocks instantiated at
+    crank/net/module/vqvae2.py:236-273.
+    """
+
+    residual_channels: int = 64
+    gate_channels: int = 128
+    skip_channels: int = 64
+    kernel_size: int = 3
+    dilation: int = 1
+    causal: bool = False
+    dropout: float = 0.0
+    weight_norm: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        c: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
+        residual = x
+        if self.dropout > 0.0:
+            x = nn.Dropout(rate=self.dropout)(x, deterministic=deterministic)
+        x = Conv1d(
+            self.gate_channels,
+            self.kernel_size,
+            dilation=self.dilation,
+            causal=self.causal,
+            weight_norm=self.weight_norm,
+        )(x)
+        xa, xb = jnp.split(x, 2, axis=-1)
+        if c is not None:
+            c = Conv1d(self.gate_channels, 1, use_bias=False,
+                       weight_norm=self.weight_norm, name="aux_conv")(c)
+            ca, cb = jnp.split(c, 2, axis=-1)
+            xa, xb = xa + ca, xb + cb
+        x = jnp.tanh(xa) * nn.sigmoid(xb)
+        skip = Conv1d(self.skip_channels, 1, weight_norm=self.weight_norm,
+                      name="skip_conv")(x)
+        out = Conv1d(self.residual_channels, 1, weight_norm=self.weight_norm,
+                     name="out_conv")(x)
+        out = (out + residual) * jnp.sqrt(0.5).astype(x.dtype)
+        return out, skip
