@@ -1,0 +1,119 @@
+"""Train/eval/reconstruction entry point (reference: crank/bin/train.py).
+
+Builds {G[, D][, C][, SPKRADV]}, restores/initializes state, and dispatches
+the Trainer with --flag train / reconstruction / eval.  Unlike the reference
+(which forbids CPU, train.py:158-159) this runs on whatever JAX backend is
+available — TPU in production, CPU for CI.
+"""
+
+import argparse
+import logging
+import pickle
+import sys
+from pathlib import Path
+
+import jax
+
+from crank_tpu.features.scaler import load_scaler
+from crank_tpu.train.checkpoint import find_latest_checkpoint, load_checkpoint
+from crank_tpu.train.dataset import get_dataloaders
+from crank_tpu.train.factory import build_models, init_models
+from crank_tpu.train.optim import make_optimizers
+from crank_tpu.train.trainer import Trainer
+from crank_tpu.utils import load_yaml, open_featsscp, open_scpdir
+
+logging.basicConfig(
+    level=logging.INFO,
+    stream=sys.stdout,
+    format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: %(message)s",
+)
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train VQ-VAE model")
+    parser.add_argument("--flag", help='flag ["train", "eval", "reconstruction"]')
+    parser.add_argument("--n_jobs", type=int, default=-1)
+    parser.add_argument("--conf", type=str)
+    parser.add_argument("--checkpoint", type=str, default=None)
+    parser.add_argument("--scpdir", type=str)
+    parser.add_argument("--featdir", type=str)
+    parser.add_argument("--featsscp", type=str, default="None")
+    parser.add_argument("--expdir", type=str)
+    args = parser.parse_args()
+
+    conf = load_yaml(args.conf)
+    for k, v in conf.items():
+        logging.info("%s: %s", k, v)
+
+    scp = {}
+    featdir = Path(args.featdir) / conf["feature"]["label"]
+    for phase in ("train", "dev", "eval"):
+        scp[phase] = open_scpdir(Path(args.scpdir) / phase)
+        scp[phase]["feats"] = open_featsscp(featdir / phase / "feats.scp")
+    if args.flag == "eval" and args.featsscp != "None":
+        logging.info("Load feats.scp from %s", args.featsscp)
+        scp["eval"]["feats"] = open_featsscp(args.featsscp)
+
+    expdir = Path(args.expdir) / Path(args.conf).stem
+    expdir.mkdir(exist_ok=True, parents=True)
+    spkr_size = len(scp["train"]["spkrs"])
+
+    scaler = load_scaler(featdir / "scaler.pkl")
+    models = build_models(conf, spkr_size, scaler=scaler)
+    dataloaders = get_dataloaders(conf, scp, scaler, flag=args.flag)
+
+    # initialize / restore
+    resume = 0
+    ckpt = None
+    if args.checkpoint not in (None, "None"):
+        ckpt = args.checkpoint
+    elif args.flag in ("reconstruction", "eval"):
+        ckpt = find_latest_checkpoint(expdir)
+        assert ckpt is not None, f"no checkpoint under {expdir}"
+    if ckpt is not None:
+        logging.info("load checkpoint: %s", ckpt)
+        payload = load_checkpoint(ckpt)
+        params, ema, opt = payload["params"], payload["ema"], payload["opt"]
+        resume = payload["steps"]
+        opts = make_optimizers(conf, list(models.keys()))
+    else:
+        params, ema = init_models(
+            models, conf, spkr_size, jax.random.PRNGKey(1234),
+            T=dataloaders["batch_len"],
+        )
+        opts = make_optimizers(conf, list(models.keys()))
+        opt = {m: opts[m].init(params[m]) for m in models}
+
+    writer = None
+    if args.flag == "train":
+        try:
+            from tensorboardX import SummaryWriter
+
+            writer = {
+                "train": SummaryWriter(
+                    logdir=str(Path(args.expdir) / "runs" / f"train-{expdir.name}")
+                ),
+                "dev": SummaryWriter(
+                    logdir=str(Path(args.expdir) / "runs" / f"dev-{expdir.name}")
+                ),
+            }
+        except ImportError:  # pragma: no cover
+            logging.info("tensorboardX unavailable; scalar logging disabled")
+
+    trainer = Trainer(
+        models,
+        opts,
+        conf,
+        dataloaders,
+        scaler,
+        expdir=expdir,
+        writer=writer,
+        resume=resume,
+        init_state={"params": params, "ema": ema, "opt": opt},
+        n_jobs=args.n_jobs,
+    )
+    trainer.run(flag=args.flag)
+
+
+if __name__ == "__main__":
+    main()

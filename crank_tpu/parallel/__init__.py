@@ -1,0 +1,6 @@
+from crank_tpu.parallel.mesh import (  # noqa: F401
+    get_mesh,
+    shard_batch,
+    replicate,
+    batch_sharding,
+)

@@ -1,0 +1,290 @@
+"""Host-side dataset and batcher.
+
+Replaces the reference's torch DataLoader + fork-worker stack
+(crank/net/trainer/dataset.py) with a dependency-free numpy pipeline:
+per-utterance h5 reads (with an in-memory cache), random converted-speaker
+assignment, statistics-based F0 conversion, scaler normalization, fixed
+``batch_len`` random-crop / zero-padding with raw-waveform frame alignment,
+and -100 ignore-index label padding.  A background thread prefetches
+assembled numpy batches.
+
+The crop/pad math is bit-identical to the reference's
+(_zero_padding/padding/padding_raw, dataset.py:158-278), which the reference
+itself proves frame-exact against the on-the-fly STFT
+(test/test_feature_pytorch.py:81-126).
+"""
+
+import queue
+import random
+import threading
+from pathlib import Path
+
+import numpy as np
+
+from crank_tpu.dsp.f0_utils import convert_f0
+from crank_tpu.features.store import calculate_maxflen, read_feature
+
+IGNORE_INDEX = -100
+
+
+def create_one_hot(T, N, c, B=-1):
+    if B == -1:
+        y = np.zeros((T, N), dtype=np.float32)
+        y[:, c] = 1
+    else:
+        y = np.zeros((B, T, N), dtype=np.float32)
+        y[:, :, c] = 1
+    return y
+
+
+def padding(x, dlen, batch_len, value=0.0, p=0):
+    """Crop (dlen<0, offset p) or right-pad to batch_len (dataset.py:239-258)."""
+    if dlen >= 0:
+        actual_dlen = batch_len - x.shape[0]
+        if actual_dlen != 0:
+            if x.ndim == 2:
+                x = np.concatenate([x, np.ones((actual_dlen, x.shape[1])) * value])
+            else:
+                x = np.concatenate([x, np.ones(actual_dlen) * value])
+    else:
+        x = x[p : p + batch_len]
+    if isinstance(value, bool):
+        return x.astype(bool)
+    if isinstance(value, int):
+        return x.astype(np.int64)
+    return x.astype(np.float32)
+
+
+def padding_raw(x, dlen, batch_len, fftl, hop_size, value=0.0, p=0):
+    """Crop/pad the raw waveform frame-aligned to the STFT (dataset.py:261-278)."""
+    target_length = fftl + hop_size * batch_len - 1
+    x = np.asarray(x).squeeze()
+    if dlen > 0 or p == 0:
+        if len(x) < target_length - fftl:
+            x = np.pad(x, int(fftl // 2), mode="reflect")
+    else:
+        ph = p * hop_size
+        hfftl = fftl // 2
+        x = np.concatenate([np.zeros(hfftl), x[ph:]])
+    if len(x) < target_length:
+        x = np.concatenate([x, np.zeros(target_length - len(x))])
+    else:
+        x = x[:target_length]
+    assert len(x) == target_length
+    return x.astype(np.float32)
+
+
+class VCDataset:
+    """Per-utterance sample construction (BaseDataset equivalent)."""
+
+    def __init__(self, conf, scp, scaler, phase="train", batch_len=None,
+                 cache=None, seed=None):
+        self.conf = conf
+        self.h5list = list(scp[phase]["feats"].values())
+        self.spkrlist = scp["train"]["spkrs"]
+        self.scaler = scaler
+        self.batch_len = batch_len if batch_len is not None else conf["batch_len"]
+        self.rng = random.Random(seed)
+
+        self.features = {conf["input_feat_type"], conf["output_feat_type"],
+                         "lcf0", "uv"}
+        if "mcep" in self.features:
+            self.features.add("cap")
+        if conf.get("use_raw"):
+            self.features.add("raw")
+        self.spkrdict = dict(zip(self.spkrlist, range(len(self.spkrlist))))
+        self.n_spkrs = len(self.spkrdict)
+        self.cache = cache if cache is not None else (
+            {} if conf.get("cache_dataset") else None
+        )
+
+    def __len__(self):
+        return len(self.h5list)
+
+    def _read(self, idx):
+        if self.cache is not None and idx in self.cache:
+            return self.cache[idx]
+        h5f = str(self.h5list[idx])
+        raw = {k: read_feature(h5f, ext=k) for k in self.features}
+        if self.cache is not None:
+            self.cache[idx] = raw
+        return raw
+
+    def __getitem__(self, idx):
+        h5f = str(self.h5list[idx])
+        sample = dict(self._read(idx))
+        sample["flbl"] = str(Path(Path(h5f).parent.stem) / Path(h5f).stem)
+        sample["org_spkr_name"] = str(Path(h5f).parent.stem)
+        sample["cv_spkr_name"] = self.rng.choice(
+            [s for s in self.spkrdict if s != sample["org_spkr_name"]]
+        )
+        flen = sample[self.conf["input_feat_type"]].shape[0]
+        sample["flen"] = flen
+        sample["mask"] = np.ones(flen, dtype=bool)[:, None]
+        sample["org_h_onehot"] = create_one_hot(
+            flen, self.n_spkrs, self.spkrdict[sample["org_spkr_name"]]
+        )
+        sample["org_h"] = np.full(
+            flen, self.spkrdict[sample["org_spkr_name"]], np.int64
+        )
+        sample["cv_h_onehot"] = create_one_hot(
+            flen, self.n_spkrs, self.spkrdict[sample["cv_spkr_name"]]
+        )
+        sample["cv_h"] = np.full(
+            flen, self.spkrdict[sample["cv_spkr_name"]], np.int64
+        )
+        sample["cv_lcf0"] = convert_f0(
+            self.scaler, sample["lcf0"], sample["org_spkr_name"],
+            sample["cv_spkr_name"],
+        )
+
+        # normalization — NOTE: cv_lcf0 is intentionally left unnormalized,
+        # matching the reference exactly (dataset.py:146-150 only transforms
+        # the feature set; the eval-time path normalizes separately at
+        # basetrainer.py:311-320)
+        if self.scaler is not None:
+            ignore = set(self.conf.get("ignore_scaler", [])) | {"uv", "cap"}
+            for k in self.features:
+                if k not in ignore and k in self.scaler:
+                    sample[k] = self.scaler[k].transform(sample[k])
+
+        if "mcep" in self.features and not self.conf.get("use_mcep_0th", False):
+            sample["mcep_0th"] = sample["mcep"][..., :1]
+            sample["mcep"] = sample["mcep"][..., 1:]
+
+        sample = self._zero_padding(sample)
+        for m in ("encoder_mask", "decoder_mask", "cycle_encoder_mask",
+                  "cycle_decoder_mask"):
+            sample[m] = np.copy(sample["mask"])
+        del sample["mask"]
+
+        sample["in_feats"] = np.copy(sample[self.conf["input_feat_type"]])
+        sample["out_feats"] = np.copy(sample[self.conf["output_feat_type"]])
+        return sample
+
+    def _zero_padding(self, sample):
+        blen = self.batch_len
+        diff_frames = blen - sample["flen"]
+        p = self.rng.choice(range(abs(diff_frames))) if diff_frames < 0 else 0
+        for k, v in list(sample.items()):
+            if not isinstance(v, np.ndarray):
+                continue
+            if k == "raw":
+                sample[k] = padding_raw(
+                    v, diff_frames, blen, self.conf["feature"]["fftl"],
+                    self.conf["feature"]["hop_size"], value=0.0, p=p,
+                )
+            elif k == "mask":
+                sample[k] = padding(v, diff_frames, blen, value=False, p=p)
+            elif k in ("org_h", "cv_h"):
+                sample[k] = padding(v, diff_frames, blen, value=IGNORE_INDEX, p=p)
+            else:
+                if sample["flen"] != v.shape[0]:
+                    sample[k] = padding(v, blen - v.shape[0], blen, value=0.0, p=p)
+                else:
+                    sample[k] = padding(v, diff_frames, blen, value=0.0, p=p)
+        return sample
+
+
+_STR_KEYS = ("flbl", "org_spkr_name", "cv_spkr_name")
+
+DEVICE_KEYS = (
+    "in_feats", "out_feats", "lcf0", "uv", "cv_lcf0", "org_h", "cv_h",
+    "org_h_onehot", "cv_h_onehot", "encoder_mask", "decoder_mask",
+    "cycle_encoder_mask", "cycle_decoder_mask", "raw",
+)
+
+
+def select_device_batch(batch):
+    """Subset of a collated batch that goes to the device/jit boundary."""
+    return {k: batch[k] for k in DEVICE_KEYS if k in batch}
+
+
+def collate(samples):
+    """Stack a list of samples into a numpy batch dict."""
+    batch = {}
+    for k in samples[0]:
+        if k in _STR_KEYS:
+            batch[k] = [s[k] for s in samples]
+        elif k == "flen":
+            batch[k] = np.asarray([s[k] for s in samples], np.int32)
+        else:
+            batch[k] = np.stack([s[k] for s in samples])
+    return batch
+
+
+class DataLoader:
+    """Shuffling, prefetching batch iterator over a VCDataset."""
+
+    def __init__(self, dataset, batch_size, shuffle=True, seed=0,
+                 drop_last=True, prefetch=2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _index_batches(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        nb = len(self)
+        for b in range(nb):
+            sl = idx[b * self.batch_size : (b + 1) * self.batch_size]
+            if len(sl) == 0:
+                return
+            yield sl
+
+    def __iter__(self):
+        q = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for sl in self._index_batches():
+                    q.put(collate([self.dataset[int(i)] for i in sl]))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+
+def get_dataloaders(conf, scp, scaler, flag="train", seed=0):
+    """Build train/dev/eval loaders; for reconstruction/eval the geometry is
+    recomputed to full utterances (trainer/utils.py:77-106 semantics, with the
+    max length rounded up to a 64-frame bucket to keep XLA shapes stable)."""
+    if flag in ("train", "reconstruction"):
+        feats = list(scp["train"]["feats"].values()) + list(
+            scp["dev"]["feats"].values()
+        )
+    else:
+        feats = list(scp["eval"]["feats"].values())
+
+    batch_len = conf["batch_len"]
+    batch_size = conf["batch_size"]
+    if flag in ("reconstruction", "eval"):
+        token_size = batch_len * batch_size
+        batch_len = -(-calculate_maxflen(feats) // 64) * 64
+        batch_size = max(1, token_size // batch_len)
+
+    spkrs = dict(zip(scp["train"]["spkrs"], range(len(scp["train"]["spkrs"]))))
+    loaders = {"spkrs": spkrs, "batch_len": batch_len, "batch_size": batch_size}
+    for phase, shuffle in (("train", True), ("dev", True), ("eval", False)):
+        ds = VCDataset(conf, scp, scaler, phase=phase, batch_len=batch_len,
+                       seed=seed + hash(phase) % 1000)
+        loaders[phase] = DataLoader(
+            ds, batch_size=batch_size, shuffle=shuffle, seed=seed,
+            drop_last=(phase == "train" and flag == "train"),
+        )
+    return loaders

@@ -1,0 +1,376 @@
+"""Training/conversion driver.
+
+Host-side orchestration around the jitted steps (train/steps.py): the
+step-driven loop with periodic dev evaluation, checkpointing and TensorBoard
+logging (reference: crank/net/trainer/basetrainer.py), full-utterance
+reconstruction/eval decoding with statistics-based F0 conversion and feature
+dumps for vocoder fine-tuning, and batched on-device Griffin-Lim synthesis of
+listening samples.
+
+Phase scheduling (GAN start / cycle start / generator freeze) is re-derived
+from the step counter exactly like the reference
+(trainer_lsgan.py:183-192, trainer_vqvae.py:359-369); each phase combination
+is a separately compiled jitted step.
+"""
+
+import logging
+import random
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from crank_tpu.dsp.f0_utils import convert_f0
+from crank_tpu.features.store import feat2hdf5
+from crank_tpu.parallel.mesh import get_mesh, pad_batch_to, replicate, shard_batch
+from crank_tpu.train.checkpoint import save_checkpoint
+from crank_tpu.train.dataset import create_one_hot, select_device_batch
+from crank_tpu.train.steps import Mode, StepFactory
+
+
+class Trainer:
+    def __init__(
+        self,
+        models,
+        optimizers,
+        conf,
+        dataloaders,
+        scaler,
+        expdir,
+        writer=None,
+        resume=0,
+        init_state=None,
+        rng_seed=1234,
+        mesh=None,
+        n_jobs=-1,
+    ):
+        self.models = models
+        self.conf = conf
+        self.feat_conf = conf["feature"]
+        self.dataloaders = dataloaders
+        self.scaler = scaler
+        self.expdir = Path(expdir)
+        self.writer = writer
+        self.n_jobs = n_jobs
+
+        self.spkrs = dataloaders["spkrs"]
+        self.n_spkrs = len(self.spkrs)
+        self.n_cv_spkrs = min(4, self.n_spkrs)
+        self.n_dev_samples = 5
+
+        self.steps = int(resume)
+        self.resume_steps = int(resume)
+        self.finish_train = False
+
+        self.mesh = mesh or get_mesh()
+        self.factory = StepFactory(
+            conf, models, optimizers, spkr_size=self.n_spkrs
+        )
+        self.state = init_state
+        self.state = {
+            "params": replicate(self.state["params"], self.mesh),
+            "ema": replicate(self.state["ema"], self.mesh),
+            "opt": replicate(self.state["opt"], self.mesh),
+        }
+        self.rng = jax.random.PRNGKey(rng_seed + self.steps)
+        self.py_rng = random.Random(rng_seed)
+        self.trainer_type = conf["trainer_type"]
+        # batches are padded up to a multiple of the data-parallel axis so
+        # every compiled shape shards evenly over the mesh
+        n_data = self.mesh.shape["data"]
+        self.pad_batch_size = -(-dataloaders["batch_size"] // n_data) * n_data
+
+    # --------------------------- phase flags ---------------------------- #
+
+    def _mode(self, do_update=True) -> Mode:
+        conf = self.conf
+        gan_flag = (
+            self.trainer_type in ("lsgan", "cyclegan", "stargan")
+            and self.steps > conf["n_steps_gan_start"]
+        )
+        stop_generator = (
+            gan_flag
+            and conf["n_steps_stop_generator"] > 0
+            and self.steps
+            <= conf["n_steps_gan_start"] + conf["n_steps_stop_generator"]
+        )
+        cycle_flag = (
+            conf["use_cyclic_training"]
+            and self.steps > conf["n_steps_cycle_start"]
+        )
+        if conf["use_cyclic_training"] and not conf["use_spkr_classifier"]:
+            raise ValueError(
+                "use_cyclic_training requires use_spkr_classifier to be true"
+            )
+        return Mode(
+            trainer_type=self.trainer_type,
+            gan_flag=gan_flag,
+            cycle_flag=cycle_flag,
+            stop_generator=stop_generator,
+            do_update=do_update,
+        )
+
+    # ----------------------------- main loop ---------------------------- #
+
+    def run(self, flag="train", tdir=None):
+        if flag == "train":
+            while not self.finish_train:
+                self._tr_epoch()
+            logging.info("Finish training")
+            if self.writer:
+                for w in self.writer.values():
+                    w.close()
+        elif flag == "eval":
+            logging.info("Run evaluation")
+            self._eval_steps()
+            logging.info("Finish evaluation")
+        elif flag == "reconstruction":
+            logging.info("Run reconstruction")
+            self._reconstruction_steps(tdir or "reconstruction")
+            logging.info("Finish reconstruction")
+        else:
+            raise ValueError(f"unknown flag: {flag}")
+
+    def _device_batch(self, batch):
+        return shard_batch(select_device_batch(batch), self.mesh)
+
+    def _next_rng(self):
+        self.rng, k = jax.random.split(self.rng)
+        return k
+
+    def _tr_epoch(self):
+        for batch in self.dataloaders["train"]:
+            step_fn = self.factory.make_step(self._mode())
+            self.state, loss = step_fn(
+                self.state, self._device_batch(batch), self._next_rng()
+            )
+            if self.steps % self.conf["n_steps_print_loss"] == 0:
+                loss = jax.device_get(loss)
+                self._print_loss(loss, phase="train")
+                self._flush_writer(loss, phase="train")
+            self._dev_step()
+            if (
+                self.resume_steps != self.steps
+                and self.steps % self.conf["n_steps_save_model"] == 0
+            ):
+                self.save_model()
+            self.steps += 1
+            if self.steps > self.conf["n_steps"]:
+                self.finish_train = True
+                break
+
+    def _dev_step(self):
+        conf = self.conf
+        if not (
+            self.steps % conf["dev_steps"] == 0
+            and self.steps > conf["dev_steps"] - 1
+            and self.steps != self.resume_steps
+        ):
+            return
+        dev_loss = None
+        step_fn = self.factory.make_step(self._mode(do_update=False))
+        for dev_idx, batch in enumerate(self.dataloaders["dev"]):
+            batch, _ = pad_batch_to(batch, self.pad_batch_size)
+            self.state, dev_loss = step_fn(
+                self.state, self._device_batch(batch), self._next_rng()
+            )
+            # dev-time conversion listening samples
+            for cv_spkr in self.py_rng.sample(
+                list(self.spkrs.keys()), self.n_cv_spkrs
+            ):
+                decoded = self._convert_batch(batch, cv_spkr)
+                self._generate_cvwav(
+                    batch, decoded, cv_spkr, tdir="dev_wav",
+                    save_hdf5=False, save_decoded=True,
+                    n_samples=self.n_dev_samples,
+                )
+            if dev_idx > 0:
+                break
+        if dev_loss is not None:
+            dev_loss = jax.device_get(dev_loss)
+            self._print_loss(dev_loss, phase="dev")
+            self._flush_writer(dev_loss, phase="dev")
+
+    def _eval_steps(self):
+        for batch in self.dataloaders["eval"]:
+            batch, n_valid = pad_batch_to(batch, self.pad_batch_size)
+            for cv_spkr in self.spkrs.keys():
+                decoded = self._convert_batch(batch, cv_spkr)
+                self._generate_cvwav(
+                    batch, decoded[:n_valid], cv_spkr, tdir="eval_wav",
+                    save_hdf5=True, save_decoded=False, n_samples=-1,
+                )
+
+    def _reconstruction_steps(self, tdir):
+        fwd = self.factory.make_forward(use_cvfeats=False)
+        for dkey in ("train", "dev"):
+            for batch in self.dataloaders[dkey]:
+                batch, n_valid = pad_batch_to(
+                    batch, self.dataloaders["batch_size"]
+                )
+                decoded = np.asarray(
+                    fwd(self.state["params"], self.state["ema"],
+                        self._device_batch(batch))
+                )
+                self._generate_cvwav(
+                    batch, decoded[:n_valid], None, tdir=tdir,
+                    save_hdf5=True, save_decoded=False, n_samples=-1,
+                )
+
+    # --------------------------- conversion ----------------------------- #
+
+    def _convert_batch(self, batch, cv_spkr_name):
+        """Decode with an explicit target speaker (basetrainer._get_cvf0 +
+        _get_spkr_conditions semantics): per-item statistics-based F0
+        transform in the raw log-F0 domain, then normalized."""
+        B, T = batch["lcf0"].shape[:2]
+        spkr_num = self.spkrs[cv_spkr_name]
+        cv_lcf0s = np.zeros_like(batch["lcf0"])
+        for n in range(B):
+            org_lcf0 = self.scaler["lcf0"].inverse_transform(batch["lcf0"][n])
+            cv_lcf0 = convert_f0(
+                self.scaler, org_lcf0, batch["org_spkr_name"][n], cv_spkr_name
+            )
+            cv_lcf0s[n] = self.scaler["lcf0"].transform(cv_lcf0)
+        cv_batch = dict(batch)
+        cv_batch["cv_lcf0"] = cv_lcf0s.astype(np.float32)
+        cv_batch["cv_h"] = np.full((B, T), spkr_num, np.int64)
+        cv_batch["cv_h_onehot"] = create_one_hot(
+            T, self.n_spkrs, spkr_num, B=B
+        ).astype(np.float32)
+        fwd = self.factory.make_forward(use_cvfeats=True)
+        return np.asarray(
+            fwd(self.state["params"], self.state["ema"],
+                self._device_batch(cv_batch))
+        )
+
+    def _generate_cvwav(self, batch, decoded, cv_spkr_name=None,
+                        tdir="dev_wav", save_hdf5=True, save_decoded=True,
+                        n_samples=1):
+        tdir = self.expdir / tdir / str(self.steps)
+        feats = self._store_features(batch, decoded, cv_spkr_name, tdir)
+        if not (n_samples == -1 or n_samples > len(feats)):
+            keys = self.py_rng.sample(list(feats.keys()), n_samples)
+            feats = {k: feats[k] for k in keys}
+        for k in feats:
+            Path(k).parent.mkdir(parents=True, exist_ok=True)
+        if save_hdf5:
+            self._save_decoded_to_hdf5(feats)
+        if save_decoded:
+            if self.conf["output_feat_type"] == "mcep":
+                self._save_decoded_world(feats)
+            else:
+                self._save_decoded_mlfb(feats)
+
+    def _store_features(self, batch, decoded, cv_spkr_name, tdir):
+        """Inverse-scale decoded features + statistics-F0 per utterance
+        (basetrainer._store_features)."""
+        conf = self.conf
+        feat_type = conf["output_feat_type"]
+
+        def inv_trans(k, feat):
+            if k not in conf["ignore_scaler"]:
+                return self.scaler[k].inverse_transform(feat)
+            return feat
+
+        feats = {}
+        for n in range(decoded.shape[0]):
+            org_spkr = batch["org_spkr_name"][n]
+            cv_name = org_spkr if cv_spkr_name is None else cv_spkr_name
+            wavf = tdir / f"{batch['flbl'][n]}_org-{org_spkr}_cv-{cv_name}.wav"
+            flen = int(batch["flen"][n])
+            feat = np.asarray(decoded[n][:flen], np.float64)
+            entry = {}
+            if feat_type == "mcep":
+                entry["cap"] = np.asarray(batch["cap"][n][:flen], np.float64)
+                if not conf.get("use_mcep_0th", False):
+                    mcep_0th = np.asarray(batch["mcep_0th"][n][:flen], np.float64)
+                    org_mcep = np.asarray(batch["in_feats"][n][:flen], np.float64)
+                    feat = np.ascontiguousarray(np.hstack([mcep_0th, feat]))
+                    rmcep = np.ascontiguousarray(np.hstack([mcep_0th, org_mcep]))
+                    entry["rmcep"] = inv_trans(feat_type, rmcep)
+                else:
+                    entry["rmcep"] = None
+            entry["feats"] = inv_trans(feat_type, feat)
+            org_cf0 = inv_trans("lcf0", np.asarray(batch["lcf0"][n][:flen],
+                                                   np.float64))
+            cv_cf0 = convert_f0(self.scaler, org_cf0, org_spkr, cv_name)
+            entry["lcf0"] = cv_cf0
+            entry["uv"] = np.asarray(batch["uv"][n][:flen], np.float64)
+            entry["f0"] = np.exp(cv_cf0) * entry["uv"]
+            entry["normed_lcf0"] = self.scaler["lcf0"].transform(cv_cf0)
+            entry["normed_feat"] = np.asarray(decoded[n][:flen], np.float64)
+            feats[wavf] = entry
+        return feats
+
+    def _save_decoded_to_hdf5(self, feats):
+        keys = ["feats", "normed_feat", "f0", "lcf0", "normed_lcf0", "uv"]
+        if self.conf["output_feat_type"] == "mcep":
+            keys += ["cap"]
+        for path, feat in feats.items():
+            for k in keys:
+                feat2hdf5(feat[k], path, ext=k)
+
+    def _save_decoded_mlfb(self, feats):
+        from crank_tpu.dsp.griffin_lim import mlfb_to_wav
+        from crank_tpu.utils.audio_io import write_wav
+
+        fc = self.feat_conf
+        for wavf, feat in feats.items():
+            try:
+                wav = mlfb_to_wav(
+                    feat["feats"], fs=fc["fs"], n_mels=fc["mlfb_dim"],
+                    n_fft=fc["fftl"], win_length=fc["win_length"],
+                    hop_size=fc["hop_size"], fmin=fc["fmin"], fmax=fc["fmax"],
+                    n_iters=fc["n_iteration"],
+                )
+                write_wav(wavf, wav, fc["fs"])
+            except Exception as e:  # pragma: no cover
+                logging.info("ERROR: GriffinLim for %s (%s)", wavf, e)
+
+    def _save_decoded_world(self, feats):
+        from crank_tpu.native import world
+        from crank_tpu.utils.audio_io import write_wav
+
+        fc = self.feat_conf
+        for wavf, feat in feats.items():
+            wav = world.world2wav(
+                feat["f0"][:, 0].astype(np.float64),
+                feat["feats"].astype(np.float64),
+                feat["cap"].astype(np.float64),
+                rmcep=(
+                    feat["rmcep"].astype(np.float64)
+                    if feat.get("rmcep") is not None else None
+                ),
+                fs=fc["fs"], fftl=fc["fftl"], shiftms=fc["shiftms"],
+                alpha=fc["mcep_alpha"],
+            )
+            write_wav(wavf, np.clip(wav, -1.0, 1.0), fc["fs"])
+
+    # ---------------------------- bookkeeping --------------------------- #
+
+    def save_model(self):
+        state = {
+            "steps": self.steps,
+            "params": self.state["params"],
+            "ema": self.state["ema"],
+            "opt": self.state["opt"],
+            "rng": self.rng,
+        }
+        path = save_checkpoint(self.expdir, state)
+        logging.info("saved checkpoint: %s", path)
+
+    def _print_loss(self, loss_values, phase="train"):
+        logging.info("%s iterations: %d", phase, self.steps)
+        for k in sorted(loss_values):
+            v = float(loss_values[k])
+            if v != 0.0:
+                logging.info("%s: %s", k, v)
+
+    def _flush_writer(self, loss, phase):
+        if self.writer and phase in self.writer:
+            for k, v in loss.items():
+                self.writer[phase].add_scalar(
+                    f"loss/{k}", float(v), self.steps
+                )
+            self.writer[phase].flush()
