@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Benchmark: training throughput (mel-frames/sec/chip) of the flagship
+VQ-VAE voice-conversion model at the reference's production scale.
+
+Workload parity with the reference training step (SURVEY.md §6): batch
+50 utterances x 500 frames x 80-dim mlfb (25k frames/step), VQVAE2 with two
+VQ stacks (the exact egs/vaevc/template/conf/default.yml geometry), plus the
+speaker-adversarial and speaker-classifier updates — i.e. the full `vqvae`
+trainer step, all three optimizer updates included.
+
+Baseline: the reference cannot train on CPU (crank/bin/train.py:158-159) and
+publishes no throughput numbers, so the baseline is a first-party torch-CPU
+proxy of the same step (same conv stack geometry, same batch, fwd+bwd for
+G/SPKRADV/C, OMP_NUM_THREADS=1 as set by the reference's path.sh), measured
+on this machine at 6,302 frames/sec.  vs_baseline is the speedup multiple
+(target from BASELINE.json: >= 10x).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import numpy as np
+
+BASELINE_CPU_FRAMES_PER_SEC = 6302.0
+
+
+def main():
+    from crank_tpu.configs import default_conf
+    from crank_tpu.parallel.mesh import get_mesh, replicate, shard_batch
+    from crank_tpu.train.factory import build_models, init_models
+    from crank_tpu.train.optim import make_optimizers
+    from crank_tpu.train.steps import Mode, StepFactory
+
+    spkr_size = 4
+    conf = default_conf()
+    B, T, D = conf["batch_size"], conf["batch_len"], conf["input_size"]
+
+    mesh = get_mesh()
+    n_chips = mesh.shape["data"]
+    # keep per-chip batch at the reference's 50 utterances
+    B = B * n_chips
+
+    models = build_models(conf, spkr_size)
+    params, ema = init_models(models, conf, spkr_size, jax.random.PRNGKey(0),
+                              B=2, T=T)
+    opts = make_optimizers(conf, list(models.keys()))
+    state = {
+        "params": params,
+        "ema": ema,
+        "opt": {m: opts[m].init(params[m]) for m in models},
+    }
+    state = {k: replicate(v, mesh) for k, v in state.items()}
+
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((B, T, D)).astype(np.float32)
+    ones_m = np.ones((B, T, 1), bool)
+    batch = {
+        "in_feats": feats,
+        "out_feats": feats,
+        "lcf0": rng.standard_normal((B, T, 1)).astype(np.float32),
+        "uv": (rng.random((B, T, 1)) > 0.3).astype(np.float32),
+        "cv_lcf0": rng.standard_normal((B, T, 1)).astype(np.float32),
+        "org_h": np.tile(rng.integers(0, spkr_size, (B, 1)), (1, T)),
+        "cv_h": np.tile(rng.integers(0, spkr_size, (B, 1)), (1, T)),
+        "org_h_onehot": np.eye(spkr_size, dtype=np.float32)[
+            rng.integers(0, spkr_size, B)][:, None, :].repeat(T, 1),
+        "cv_h_onehot": np.eye(spkr_size, dtype=np.float32)[
+            rng.integers(0, spkr_size, B)][:, None, :].repeat(T, 1),
+        "encoder_mask": ones_m,
+        "decoder_mask": ones_m,
+        "cycle_encoder_mask": ones_m,
+        "cycle_decoder_mask": ones_m,
+    }
+    batch = shard_batch(batch, mesh)
+
+    factory = StepFactory(conf, models, opts, spkr_size=spkr_size)
+    step = factory.make_step(Mode(trainer_type="vqvae"))
+
+    key = jax.random.PRNGKey(1)
+    # warmup / compile
+    for _ in range(2):
+        key, k = jax.random.split(key)
+        state, loss = step(state, batch, k)
+    jax.block_until_ready(loss["G"])
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        key, k = jax.random.split(key)
+        state, loss = step(state, batch, k)
+    jax.block_until_ready(loss["G"])
+    dt = time.perf_counter() - t0
+
+    frames_per_sec_per_chip = B * T * n_iters / dt / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "vqvae_train_frames_per_sec_per_chip",
+                "value": round(frames_per_sec_per_chip, 1),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(
+                    frames_per_sec_per_chip / BASELINE_CPU_FRAMES_PER_SEC, 2
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
