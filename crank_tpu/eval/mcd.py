@@ -1,0 +1,61 @@
+"""Mel-cepstral distortion evaluation.
+
+Reference semantics (crank/bin/evaluate_mcd.py): WORLD-style re-analysis of
+the converted waveform, voiced-frame selection on both sides, DTW alignment,
+then MCD = mean(10/ln10 * sqrt(2 * sum(d^2))) over aligned frames.  Uses the
+first-party C++ analyzer and exact DTW (crank_tpu/native).
+"""
+
+import numpy as np
+
+from crank_tpu.dsp.filters import low_cut_filter
+from crank_tpu.native import world
+from crank_tpu.utils.audio_io import read_wav
+
+MCD_COEF = 10.0 / np.log(10.0)
+
+
+def get_world_mcep(wavpath, conf, spkr_conf):
+    x, fs = read_wav(wavpath)
+    x = np.asarray(x, dtype=np.float64)
+    x = low_cut_filter(x, fs, cutoff=70)
+    f0 = world.f0_analyze(
+        x, conf["feature"]["fs"], shiftms=conf["feature"]["shiftms"],
+        minf0=spkr_conf["minf0"], maxf0=spkr_conf["maxf0"],
+    )
+    spc = world.spectral_envelope(
+        x, f0, conf["feature"]["fs"], shiftms=conf["feature"]["shiftms"],
+        fftl=conf["feature"]["fftl"],
+    )
+    mcep = world.sp2mc(
+        spc, dim=conf["feature"]["mcep_dim"],
+        alpha=conf["feature"]["mcep_alpha"],
+    )
+    return mcep, f0
+
+
+def mcd(cv_mcep, cv_f0, gt_mcep, gt_f0):
+    """Voiced-only DTW-aligned mel-cepstral distortion in dB
+    (evaluate_mcd.py:64-77; the 0th coefficient is excluded upstream by the
+    caller passing mcep[:, 1:] when use_mcep_0th is false — here full arrays
+    are compared, matching the reference's use of the stored mcep)."""
+    cv_f0 = np.asarray(cv_f0).reshape(-1)
+    gt_f0 = np.asarray(gt_f0).reshape(-1)
+    cv = np.asarray(cv_mcep)[cv_f0 > 0]
+    gt = np.asarray(gt_mcep)[gt_f0 > 0]
+    if len(cv) == 0 or len(gt) == 0:
+        return float("nan")
+    pa, pb = world.dtw(cv, gt)
+    diff2sum = np.sum((cv[pa] - gt[pb]) ** 2, axis=1)
+    return float(np.mean(MCD_COEF * np.sqrt(2.0 * diff2sum)))
+
+
+def summarize_pairwise(results):
+    """results: list of (f"{org}-{tar}-{number}", mcd) -> {"org tar": mean}."""
+    pairwise = {}
+    for k, v in results:
+        org, tar, _ = k.split("-")
+        pairwise.setdefault(f"{org} {tar}", []).append(v)
+    return {
+        k: float(np.mean(v)) for k, v in sorted(pairwise.items())
+    }

@@ -34,8 +34,6 @@ extern "C" int crank_band_aperiodicity(const double* x, int n, int fs,
   for (int t = 0; t < n_frames; t++) {
     const double cur_f0 = f0[t];
     if (cur_f0 <= 0.0) {
-      for (int b = 0; b < n_bands; b++)
-        ap_coarse[(size_t)t * n_bands + b] = 0.0;  // log-domain: ~1.0 ap
       // unvoiced frames get maximum aperiodicity (stored as 0 dB = 1.0)
       for (int b = 0; b < n_bands; b++)
         ap_coarse[(size_t)t * n_bands + b] = 0.0;
@@ -92,8 +90,8 @@ extern "C" int crank_decode_aperiodicity(const double* ap_coarse, int n_frames,
   for (int t = 0; t < n_frames; t++) {
     for (int i = 0; i < half; i++) {
       const double hz = (double)i * fs / fftl;
-      // coarse band centers at 3000*(b+1) - 1500
-      double pos = hz / 3000.0 - 0.5;
+      // coarse band centers at 3000*(b+1) Hz (WORLD coarse grid)
+      double pos = hz / 3000.0 - 1.0;
       double v;
       if (pos <= 0.0) {
         v = ap_coarse[(size_t)t * n_bands + 0];
