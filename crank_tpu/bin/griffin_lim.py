@@ -30,8 +30,10 @@ def main():
     conf = load_yaml(args.conf)
     fc = conf["feature"]
     outdir = Path(args.outdir)
+    rootdir = Path(args.rootdir)
     outdir.mkdir(parents=True, exist_ok=True)
-    for h5f in sorted(Path(args.rootdir).glob("*.h5")):
+    # rglob: decoded features are nested per original speaker
+    for h5f in sorted(rootdir.rglob("*.h5")):
         mlfb = read_feature(h5f, "feats")
         wav = mlfb_to_wav(
             mlfb, fs=fc["fs"], n_mels=fc["mlfb_dim"], n_fft=fc["fftl"],
@@ -39,8 +41,10 @@ def main():
             hop_size=fc["hop_size"], fmin=fc["fmin"], fmax=fc["fmax"],
             n_iters=fc["n_iteration"],
         )
-        write_wav(outdir / (h5f.stem + ".wav"), wav, fc["fs"])
-        logging.info("wrote %s", outdir / (h5f.stem + ".wav"))
+        rel = h5f.relative_to(rootdir).parent
+        (outdir / rel).mkdir(parents=True, exist_ok=True)
+        write_wav(outdir / rel / (h5f.stem + ".wav"), wav, fc["fs"])
+        logging.info("wrote %s", outdir / rel / (h5f.stem + ".wav"))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,250 @@
+"""Recipe stage runner — the Python replacement for the reference's
+bash/perl orchestration layer (egs/vaevc/template/run.sh + utils/*.pl,
+SURVEY.md §2.2).
+
+Eight stages, same numbering and directory conventions as the reference:
+
+  0  download corpus + generate scp
+  1  initialization (F0/power histograms for spkr.yml tuning), then stop
+  2  feature extraction (train/dev/eval) + statistics
+  3  VQVAE training
+  4  reconstruction dumps (for vocoder fine-tuning)
+  5  conversion decoding (eval)
+  6  waveform synthesis (GL native; PWG via external parallel-wavegan CLIs)
+  7  objective evaluation (MCD + MOSnet)
+
+Each stage runs as a subprocess with stdout/stderr captured to a log file
+(run.pl-style).  ``--launcher`` prefixes every command, so cluster dispatch
+(e.g. ``--launcher "srun -p tpu"``) replaces queue.pl/slurm.pl/ssh.pl.
+"""
+
+import argparse
+import os
+import shlex
+import subprocess
+import sys
+from pathlib import Path
+
+
+def run_cmd(cmd, log, launcher="", env=None):
+    log = Path(log)
+    log.parent.mkdir(parents=True, exist_ok=True)
+    if launcher:
+        cmd = shlex.split(launcher) + cmd
+    print(f"[run] {' '.join(map(str, cmd))} (log: {log})", flush=True)
+    with open(log, "w") as fp:
+        ret = subprocess.run(
+            [str(c) for c in cmd], stdout=fp, stderr=subprocess.STDOUT, env=env
+        )
+    if ret.returncode != 0:
+        print(open(log).read()[-4000:], file=sys.stderr)
+        raise SystemExit(f"stage command failed (see {log})")
+
+
+def main():
+    parser = argparse.ArgumentParser(description="crank-tpu recipe runner")
+    parser.add_argument("--recipe", type=str, required=True,
+                        help="recipe directory (e.g. egs/vaevc/vcc2018v1)")
+    parser.add_argument("--conf", type=str, default="conf/mlfb_vqvae.yml")
+    parser.add_argument("--spkr_yml", type=str, default="conf/spkr.yml")
+    parser.add_argument("--stage", type=int, default=0)
+    parser.add_argument("--stop_stage", type=int, default=7)
+    parser.add_argument("--n_jobs", type=int, default=-1)
+    parser.add_argument("--voc", type=str, default="GL", choices=["GL", "PWG"])
+    parser.add_argument("--voc_expdir", type=str, default="downloads/PWG")
+    parser.add_argument("--resume_checkpoint", type=str, default="None")
+    parser.add_argument("--decode_checkpoint", type=str, default="None")
+    parser.add_argument("--dev_utterances", type=int, default=3)
+    parser.add_argument("--eval_utterances", type=int, default=5)
+    parser.add_argument("--eval_speakers", type=str, nargs="*", default=[""])
+    parser.add_argument("--launcher", type=str, default="",
+                        help="command prefix for cluster dispatch")
+    parser.add_argument("--mosnet_weights", type=str, default=None)
+    args = parser.parse_args()
+
+    recipe = Path(args.recipe)
+    conf = recipe / args.conf if not Path(args.conf).is_absolute() else Path(args.conf)
+    spkr_yml = (
+        recipe / args.spkr_yml
+        if not Path(args.spkr_yml).is_absolute()
+        else Path(args.spkr_yml)
+    )
+    confname = conf.stem
+    datadir = recipe / "data"
+    scpdir = datadir / "scp"
+    featdir = datadir / "feature"
+    logdir = datadir / "log"
+    expdir = recipe / "exp"
+    downloads = recipe / "downloads"
+    for d in (datadir, featdir, logdir, expdir):
+        d.mkdir(parents=True, exist_ok=True)
+
+    env = dict(os.environ)
+    env["CRANK_TPU_DEFAULT_YAML"] = str(recipe / "conf" / "default.yml")
+    env.setdefault("PYTHONPATH", str(Path(__file__).resolve().parents[2]))
+
+    import yaml
+
+    with open(conf) as fp:
+        conf_d = yaml.safe_load(fp)
+    feat_type = conf_d.get("input_feat_type", "mlfb")
+    if args.decode_checkpoint != "None":
+        n_decode_steps = "".join(
+            c for c in Path(args.decode_checkpoint).stem if c.isdigit()
+        )
+    else:
+        with open(recipe / "conf" / "default.yml") as fp:
+            default_d = yaml.safe_load(fp)
+        n_decode_steps = str(conf_d.get("n_steps", default_d.get("n_steps")))
+
+    py = [sys.executable, "-m"]
+    L = args.launcher
+
+    def stage_in(n):
+        return args.stage <= n <= args.stop_stage
+
+    if stage_in(0):
+        print("stage 0: download dataset and generate scp")
+        dl = recipe / "local" / "download.py"
+        if dl.exists():
+            run_cmd([sys.executable, dl, "--downloaddir", downloads],
+                    logdir / "download.log", L, env)
+        run_cmd(
+            py + ["crank_tpu.bin.generate_scp",
+                  "--wavdir", downloads / "wav",
+                  "--scpdir", scpdir,
+                  "--spkr_yml", spkr_yml,
+                  "--dev_utterances", args.dev_utterances,
+                  "--eval_utterances", args.eval_utterances,
+                  "--eval_speakers"] + args.eval_speakers,
+            logdir / "generate_scp.log", L, env,
+        )
+
+    # stage 1 always exits afterwards so the user can tune spkr.yml
+    # (reference run.sh:89-100 has the same hard `exit`)
+    if stage_in(1):
+        print("stage 1: initialization (histograms)")
+        run_cmd(
+            py + ["crank_tpu.bin.generate_histogram",
+                  "--n_jobs", args.n_jobs,
+                  "--wav_dir", downloads / "wav",
+                  "--figure_dir", datadir / "figure"],
+            logdir / "generate_histogram.log", L, env,
+        )
+        print("stage 1 done: set minf0/maxf0/npow in", spkr_yml)
+        return
+
+    if stage_in(2):
+        print("stage 2: feature extraction and statistics")
+        for phase in ("train", "dev", "eval"):
+            run_cmd(
+                py + ["crank_tpu.bin.extract_feature",
+                      "--n_jobs", args.n_jobs, "--phase", phase,
+                      "--conf", conf, "--spkr_yml", spkr_yml,
+                      "--scpdir", scpdir, "--featdir", featdir],
+                logdir / f"extract_feature_{phase}.log", L, env,
+            )
+        run_cmd(
+            py + ["crank_tpu.bin.extract_statistics",
+                  "--n_jobs", args.n_jobs, "--phase", "train",
+                  "--conf", conf, "--scpdir", scpdir, "--featdir", featdir],
+            logdir / "extract_statistics.log", L, env,
+        )
+
+    def train_cmd(flag, ckpt, log):
+        run_cmd(
+            py + ["crank_tpu.bin.train", "--flag", flag,
+                  "--n_jobs", args.n_jobs, "--conf", conf,
+                  "--checkpoint", ckpt, "--scpdir", scpdir,
+                  "--featdir", featdir, "--expdir", expdir],
+            log, L, env,
+        )
+
+    if stage_in(3):
+        print("stage 3: train")
+        train_cmd("train", args.resume_checkpoint,
+                  expdir / confname / "train.log")
+
+    if stage_in(4):
+        print("stage 4: reconstruction")
+        train_cmd("reconstruction", args.decode_checkpoint,
+                  expdir / confname / "reconstruction.log")
+
+    if stage_in(5):
+        print("stage 5: decode")
+        train_cmd("eval", args.decode_checkpoint,
+                  expdir / confname / "decode.log")
+
+    if feat_type == "mcep":
+        outdir = expdir / confname / "eval_wav" / n_decode_steps
+    else:
+        outdir = (
+            expdir / confname
+            / f"eval_{Path(args.voc_expdir).name}_wav" / n_decode_steps
+        )
+
+    if stage_in(6):
+        print("stage 6: synthesis")
+        (outdir / "wav").mkdir(parents=True, exist_ok=True)
+        eval_wav = expdir / confname / "eval_wav" / n_decode_steps
+        if feat_type == "mcep":
+            # WORLD synthesis already produced wavs at decode time when
+            # save_decoded; the GL/PWG stage applies to the mlfb path
+            pass
+        if args.voc == "GL":
+            run_cmd(
+                py + ["crank_tpu.bin.griffin_lim", "--n_jobs", args.n_jobs,
+                      "--conf", conf, "--rootdir", eval_wav,
+                      "--outdir", outdir / "wav"],
+                outdir / "griffin_lim_decode.log", L, env,
+            )
+        else:  # PWG via external parallel-wavegan package
+            voc_expdir = Path(args.voc_expdir)
+            ckpts = sorted(voc_expdir.rglob("*.pkl"),
+                           key=lambda p: p.stat().st_mtime)
+            if not ckpts:
+                raise SystemExit(
+                    f"PWG vocoder checkpoint not found under {voc_expdir}; "
+                    "download a pretrained parallel-wavegan model there or "
+                    "use --voc GL"
+                )
+            run_cmd(
+                ["parallel-wavegan-normalize", "--skip-wav-copy",
+                 "--rootdir", eval_wav,
+                 "--config", voc_expdir / "config.yml",
+                 "--stats", voc_expdir / "stats.h5",
+                 "--dumpdir", outdir / "hdf5_norm", "--verbose", "1"],
+                outdir / "normalize.log", L, env,
+            )
+            run_cmd(
+                ["parallel-wavegan-decode", "--dumpdir", outdir / "hdf5_norm",
+                 "--checkpoint", ckpts[-1], "--outdir", outdir / "wav",
+                 "--verbose", "1"],
+                outdir / "pwg_decode.log", L, env,
+            )
+            run_cmd(
+                py + ["crank_tpu.bin.rename_decoded",
+                      "--outwavdir", outdir / "wav"],
+                outdir / "rename_decoded.log", L, env,
+            )
+
+    if stage_in(7):
+        print("stage 7: evaluation")
+        run_cmd(
+            py + ["crank_tpu.bin.evaluate_mcd", "--conf", conf,
+                  "--n_jobs", args.n_jobs, "--spkr_conf", spkr_yml,
+                  "--outwavdir", outdir / "wav", "--featdir", featdir,
+                  "--out", outdir / "mcd.log"],
+            outdir / "mcd_run.log", L, env,
+        )
+        mos_cmd = py + ["crank_tpu.bin.evaluate_mosnet",
+                        "--outwavdir", outdir / "wav",
+                        "--out", outdir / "mosnet.log"]
+        if args.mosnet_weights:
+            mos_cmd += ["--weights", args.mosnet_weights]
+        run_cmd(mos_cmd, outdir / "mosnet_run.log", L, env)
+        print("results:", outdir / "mcd.log", outdir / "mosnet.log")
+
+
+if __name__ == "__main__":
+    main()

@@ -91,6 +91,46 @@ def _bucket_len(t: int, bucket: int = 128) -> int:
     return int(-(-t // bucket) * bucket)
 
 
+def griffin_lim_np(spc, n_fft=1024, hop_size=128, win_length=None,
+                   window="hann", n_iters=100, momentum=0.99, seed=0):
+    """Numpy Griffin-Lim for host-side one-off jobs (e.g. feature-extraction
+    check wavs inside short-lived worker processes, where a jit compile would
+    dominate).  Same algorithm as the device path."""
+    from crank_tpu.dsp.stft_np import stft_np, _pad_center
+    from crank_tpu.dsp.windows import get_window
+
+    spc = np.abs(np.asarray(spc, dtype=np.float64))  # [T, F]
+    win_length = n_fft if win_length is None else win_length
+    win = _pad_center(
+        np.asarray(get_window(window, win_length, periodic=True)), n_fft
+    )
+    T = spc.shape[0]
+    out_len = n_fft + hop_size * (T - 1)
+    idx = hop_size * np.arange(T)[:, None] + np.arange(n_fft)[None, :]
+    wss = np.zeros(out_len)
+    np.add.at(wss, idx.reshape(-1), np.tile(win**2, T))
+    wss = np.maximum(wss, 1e-10)
+
+    def istft_np(S):
+        frames = np.fft.irfft(S, n=n_fft, axis=-1) * win[None, :]
+        y = np.zeros(out_len)
+        np.add.at(y, idx.reshape(-1), frames.reshape(-1))
+        return (y / wss)[n_fft // 2 : out_len - n_fft // 2]
+
+    rng = np.random.default_rng(seed)
+    angles = spc * np.exp(2j * np.pi * rng.random(spc.shape))
+    beta = momentum / (1 + momentum)
+    rebuilt_prev = np.zeros_like(angles)
+    for _ in range(n_iters):
+        inverse = istft_np(angles)
+        rebuilt = stft_np(inverse, n_fft=n_fft, hop_size=hop_size,
+                          win_length=None, window=win, center=True)
+        upd = rebuilt - beta * rebuilt_prev
+        rebuilt_prev = rebuilt
+        angles = spc * upd / (np.abs(upd) + 1e-16)
+    return np.clip(istft_np(angles), -1.0, _WAV_MAX)
+
+
 def mlfb_to_wav(
     mlfb,
     fs=22050,
@@ -103,19 +143,27 @@ def mlfb_to_wav(
     window="hann",
     n_iters=100,
     bucket=128,
+    backend="jax",
 ):
     """log-mel [T, n_mels] -> waveform via pinv(mel) + Griffin-Lim.
 
     Equivalent of the reference's mlfb2wav (crank/utils/utils.py:94-107).
-    Frame count is right-padded to a bucket multiple (single compiled shape per
-    bucket) and the synthesized tail trimmed.
+    With the (default) jax backend the frame count is right-padded to a
+    bucket multiple (single compiled shape per bucket) and the synthesized
+    tail trimmed; backend="numpy" avoids compilation for one-off host jobs.
     """
     mlfb = np.asarray(mlfb)
     t_real = mlfb.shape[0]
-    t_pad = _bucket_len(max(t_real, 2), bucket)
     inv_basis = mel_pseudo_inverse(fs, n_fft, n_mels, fmin, fmax)
     mspc = np.power(10.0, mlfb)
     spc = mspc @ inv_basis.T
+    if backend == "numpy":
+        y = griffin_lim_np(
+            np.abs(spc), n_fft=n_fft, hop_size=hop_size,
+            win_length=win_length, window=window, n_iters=n_iters,
+        )
+        return np.asarray(y)[: hop_size * (t_real - 1)]
+    t_pad = _bucket_len(max(t_real, 2), bucket)
     spc = np.pad(spc, ((0, t_pad - t_real), (0, 0)))
     y = griffin_lim(
         np.abs(spc),

@@ -149,6 +149,8 @@ class FeatureExtractor:
                     fmax=self.conf["fmax"],
                     window="hann",
                     n_iters=self.conf["n_iteration"],
+                    # short-lived joblib workers: a jit compile would dominate
+                    backend="numpy",
                 )
                 self.h5_dir.mkdir(parents=True, exist_ok=True)
                 write_wav(glf, wav, self.conf["fs"])

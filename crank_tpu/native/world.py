@@ -223,6 +223,57 @@ def world2wav(f0, mcep, codeap, rmcep=None, fs=22050, fftl=1024,
     return np.clip(wav, -1.0, 1.0)
 
 
+def diff2wav(x, diffmcep, rmcep=None, fs=22050, fftl=1024, shiftms=5.0,
+             alpha=0.455):
+    """Filter a waveform with a differential mel-cepstrum (sprocket
+    synthesis_diff role, crank/utils/utils.py:174-183): per-frame
+    minimum-phase filtering with hann overlap-add."""
+    x = np.asarray(x, dtype=np.float64)
+    diffmcep = np.asarray(diffmcep, dtype=np.float64)
+    if rmcep is not None:
+        diffmcep = mod_power(
+            rmcep + diffmcep, rmcep, alpha=alpha, irlen=fftl // 4
+        ) - np.asarray(rmcep, dtype=np.float64)
+    hop = int(round(shiftms / 1000.0 * fs))
+    n_frames = diffmcep.shape[0]
+    power = mc2sp(diffmcep, alpha, fftl)  # |H|^2 per frame
+    log_amp = 0.5 * np.log(np.maximum(power, 1e-30))
+    # minimum-phase complex spectrum per frame via cepstrum folding
+    half = fftl // 2 + 1
+    cep = np.fft.irfft(log_amp, n=fftl, axis=1)
+    cep[:, 1 : fftl // 2] *= 2.0
+    cep[:, fftl // 2 + 1 :] = 0.0
+    H = np.exp(np.fft.rfft(cep, axis=1))
+    # hann OLA with 50% overlap at 2*hop segments
+    seg = 2 * hop
+    win = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(seg) / seg)
+    y = np.zeros(len(x) + fftl)
+    wsum = np.zeros(len(x) + fftl)
+    conv_n = 1
+    while conv_n < seg + fftl:
+        conv_n <<= 1
+    for t in range(n_frames):
+        start = t * hop
+        frame = np.zeros(conv_n)
+        chunk = x[start : start + seg]
+        frame[: len(chunk)] = chunk * win[: len(chunk)]
+        spec = np.fft.rfft(frame)
+        h_full = np.zeros(conv_n // 2 + 1, dtype=complex)
+        # interpolate frame filter onto the conv grid
+        src = np.arange(half) * (fs / fftl)
+        dst = np.arange(conv_n // 2 + 1) * (fs / conv_n)
+        h_full = np.interp(dst, src, H[t].real) + 1j * np.interp(
+            dst, src, H[t].imag
+        )
+        out = np.fft.irfft(spec * h_full, n=conv_n)
+        end = min(start + conv_n, len(y))
+        y[start:end] += out[: end - start]
+        wend = min(start + seg, len(wsum))
+        wsum[start:wend] += win[: wend - start]
+    y = y[: len(x)] / np.maximum(wsum[: len(x)], 1e-6)
+    return np.clip(y, -1.0, 1.0)
+
+
 # ---------------------------------- DTW ---------------------------------- #
 
 

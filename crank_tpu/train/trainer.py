@@ -138,8 +138,28 @@ class Trainer:
         self.rng, k = jax.random.split(self.rng)
         return k
 
+    def _maybe_profile(self):
+        """Capture a jax.profiler trace of steps 10..30 when the
+        CRANK_TPU_PROFILE env var names a directory (SURVEY.md §5: the
+        reference has no tracing at all)."""
+        import os
+
+        pdir = os.environ.get("CRANK_TPU_PROFILE")
+        if not pdir:
+            return
+        if self.steps == self.resume_steps + 10:
+            jax.profiler.start_trace(pdir)
+            self._profiling = True
+        elif getattr(self, "_profiling", False) and self.steps >= (
+            self.resume_steps + 30
+        ):
+            jax.profiler.stop_trace()
+            self._profiling = False
+            logging.info("profiler trace written to %s", pdir)
+
     def _tr_epoch(self):
         for batch in self.dataloaders["train"]:
+            self._maybe_profile()
             step_fn = self.factory.make_step(self._mode())
             self.state, loss = step_fn(
                 self.state, self._device_batch(batch), self._next_rng()

@@ -3,6 +3,10 @@ import os
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding is exercised
 # without TPU hardware (SURVEY.md §4 implication).
 os.environ["JAX_PLATFORMS"] = "cpu"
+# inherited by stage subprocesses (crank_tpu honors these even when a
+# sitecustomize hook force-registers an accelerator platform)
+os.environ["CRANK_TPU_PLATFORM"] = "cpu"
+os.environ["CRANK_TPU_CPU_DEVICES"] = "8"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

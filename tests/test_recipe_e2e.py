@@ -1,0 +1,119 @@
+"""Full-recipe smoke test: stages 0→7 on a synthetic 3-speaker corpus.
+
+Exercises the complete stack end-to-end through the stage runner:
+scp generation → feature extraction (native vocoder) → statistics →
+training (jitted steps) → conversion decoding → Griffin-Lim synthesis →
+MCD + MOSnet evaluation.  The reference has no equivalent test (SURVEY.md §4).
+"""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+from crank_tpu.utils.audio_io import write_wav
+
+REPO = Path(__file__).resolve().parents[1]
+FS = 22050
+
+
+def synth_utterance(rng, base_f0, dur=0.9):
+    t = np.arange(int(FS * dur)) / FS
+    f0 = base_f0 * (1 + 0.08 * np.sin(2 * np.pi * rng.uniform(1, 3) * t))
+    phase = 2 * np.pi * np.cumsum(f0) / FS
+    x = sum(
+        a * np.sin(k * phase)
+        for k, a in enumerate([0.5, 0.3, 0.15, 0.08], start=1)
+    )
+    env = 0.4 + 0.6 * 0.5 * (1 + np.sin(2 * np.pi * 1.3 * t))
+    x = x * env + 0.01 * rng.standard_normal(len(t))
+    return (0.6 * x / np.abs(x).max()).astype(np.float64)
+
+
+@pytest.fixture(scope="module")
+def recipe(tmp_path_factory):
+    root = tmp_path_factory.mktemp("recipe")
+    rng = np.random.default_rng(11)
+    wavdir = root / "downloads" / "wav"
+    base = {"SF1": 220, "SM1": 120, "TF2": 260}
+    for spkr, f0 in base.items():
+        (wavdir / spkr).mkdir(parents=True)
+        for i in range(5):
+            write_wav(wavdir / spkr / f"{30000 + i}.wav",
+                      synth_utterance(rng, f0), FS)
+
+    confdir = root / "conf"
+    confdir.mkdir()
+    default = yaml.safe_load(
+        open(REPO / "egs/vaevc/template/conf/default.yml")
+    )
+    default.update(
+        n_steps=2, dev_steps=1000, n_steps_save_model=2, n_steps_print_loss=1,
+        batch_size=8, batch_len=32, input_size=24, output_size=24,
+        n_vq_stacks=2, n_layers=[1, 1, 1], n_layers_stacks=[2, 2, 2],
+        kernel_size=[3, 3, 3], emb_dim=[8, 8, 8], emb_size=[16, 16, 16],
+        spkr_embedding_size=8, n_spkradv_layers=2, n_spkr_classifier_layers=2,
+    )
+    default["feature"].update(
+        fftl=512, win_length=512, hop_size=128, mlfb_dim=24, n_iteration=3,
+        mcep_dim=19,
+    )
+    default["stft_params"] = {"fft_sizes": [16, 32], "win_sizes": [16, 32],
+                              "hop_sizes": [8, 16], "logratio": 0}
+    with open(confdir / "default.yml", "w") as fp:
+        yaml.safe_dump(default, fp)
+    with open(confdir / "tiny_vqvae.yml", "w") as fp:
+        yaml.safe_dump({"trainer_type": "vqvae"}, fp)
+    return root
+
+
+def run_stages(recipe, stage, stop):
+    cmd = [
+        sys.executable, "-m", "crank_tpu.bin.run",
+        "--recipe", str(recipe), "--conf", "conf/tiny_vqvae.yml",
+        "--stage", str(stage), "--stop_stage", str(stop),
+        "--n_jobs", "2", "--voc", "GL",
+        "--dev_utterances", "1", "--eval_utterances", "1",
+    ]
+    res = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
+                         timeout=1500)
+    assert res.returncode == 0, res.stdout[-3000:] + res.stderr[-3000:]
+    return res
+
+
+@pytest.mark.slow
+def test_full_recipe(recipe):
+    run_stages(recipe, 0, 0)
+    assert (recipe / "data/scp/train/wav.scp").exists()
+    # stage 0 auto-created a default spkr.yml (generate_scp.py parity);
+    # overwrite with tuned ranges (what stage 1's histograms would inform)
+    with open(recipe / "conf/spkr.yml", "w") as fp:
+        yaml.safe_dump(
+            {s: {"minf0": lo, "maxf0": hi, "npow": -30}
+             for s, (lo, hi) in
+             {"SF1": (120, 380), "SM1": (70, 240), "TF2": (140, 420)}.items()},
+            fp,
+        )
+    run_stages(recipe, 2, 2)
+    featdir = recipe / "data/feature/mlfb"
+    assert (featdir / "train/feats.scp").exists()
+    assert (featdir / "scaler.pkl").exists()
+    h5s = list((featdir / "train").rglob("*.h5"))
+    assert len(h5s) == 9
+
+    run_stages(recipe, 3, 3)
+    expdir = recipe / "exp/tiny_vqvae"
+    assert list(expdir.glob("checkpoint_*steps.pkl"))
+
+    run_stages(recipe, 5, 7)
+    outdir = expdir / "eval_PWG_wav" / "2"
+    wavs = list((outdir / "wav").rglob("*.wav"))
+    assert len(wavs) == 9  # 3 eval utts x 3 target speakers
+    mcd_log = (outdir / "mcd.log").read_text().strip().splitlines()
+    assert len(mcd_log) >= 6  # speaker pairs incl. self
+    for line in mcd_log:
+        val = float(line.split()[-1])
+        assert np.isfinite(val) and 0 < val < 200
