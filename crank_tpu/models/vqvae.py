@@ -13,6 +13,7 @@ models/vq.py); every training forward with use_ema=True updates them, which
 reproduces the reference's in-place buffer mutation semantics explicitly.
 """
 
+import os
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -61,6 +62,7 @@ class VQVAE2Config:
     sinc_conv_channels: int = 32
     sinc_conv_kernel_size: int = 65
     sinc_conv_pools: Tuple[int, ...] = (4, 4, 4, 2)
+    vq_kernel: str = "xla"  # "xla" | "pallas" (single-chip TPU EMA path)
 
     @classmethod
     def from_conf(cls, conf: Dict[str, Any], spkr_size: int, scaler=None):
@@ -113,6 +115,9 @@ class VQVAE2Config:
             sinc_conv_channels=conf.get("sinc_conv_channels", 32),
             sinc_conv_kernel_size=conf.get("sinc_conv_kernel_sizes", 65),
             sinc_conv_pools=pools,
+            vq_kernel=os.environ.get(
+                "CRANK_TPU_VQ_KERNEL", conf.get("vq_kernel", "xla")
+            ),
         )
 
 
@@ -172,6 +177,7 @@ class VQVAE2(nn.Module):
                     emb_dim=c.emb_dim[n],
                     emb_size=c.emb_size[n],
                     ema_flag=c.ema_flag,
+                    use_fused_kernel=(c.vq_kernel == "pallas"),
                     name=f"quantizer_{n}",
                 )
             )

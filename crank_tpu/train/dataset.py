@@ -27,6 +27,20 @@ from crank_tpu.features.store import calculate_maxflen, read_feature
 IGNORE_INDEX = -100
 
 
+def apply_tfmask(feats, rng, max_bin=27, max_time=100):
+    """Time-frequency SpecAugment mask (working implementation of the
+    reference's disabled stub, dataset.py:206-217)."""
+    flen, dim = feats.shape
+    d_mask = rng.randint(1, min(max_bin, dim - 1))
+    d_point = rng.randint(0, dim - d_mask)
+    t_mask = rng.randint(1, min(max_time, max(2, flen - 1)))
+    t_point = rng.randint(0, max(1, flen - t_mask))
+    out = np.copy(feats)
+    out[:, d_point : d_point + d_mask] = 0.0
+    out[t_point : t_point + t_mask] = 0.0
+    return out
+
+
 def create_one_hot(T, N, c, B=-1):
     if B == -1:
         y = np.zeros((T, N), dtype=np.float32)
@@ -83,6 +97,7 @@ class VCDataset:
         self.h5list = list(scp[phase]["feats"].values())
         self.spkrlist = scp["train"]["spkrs"]
         self.scaler = scaler
+        self.phase = phase
         self.batch_len = batch_len if batch_len is not None else conf["batch_len"]
         self.rng = random.Random(seed)
 
@@ -160,6 +175,11 @@ class VCDataset:
 
         sample["in_feats"] = np.copy(sample[self.conf["input_feat_type"]])
         sample["out_feats"] = np.copy(sample[self.conf["output_feat_type"]])
+        # SpecAugment on the network input only (the reconstruction target
+        # stays clean); the reference ships this disabled (dataset.py:113-117)
+        if self.conf.get("spec_augment") and self.phase == "train":
+            for _ in range(self.conf.get("n_spec_augment", 0)):
+                sample["in_feats"] = apply_tfmask(sample["in_feats"], self.rng)
         return sample
 
     def _zero_padding(self, sample):

@@ -335,6 +335,8 @@ class Trainer:
         from crank_tpu.dsp.griffin_lim import mlfb_to_wav
         from crank_tpu.utils.audio_io import write_wav
 
+        from crank_tpu.utils.plot import plot_mlfb
+
         fc = self.feat_conf
         for wavf, feat in feats.items():
             try:
@@ -345,6 +347,7 @@ class Trainer:
                     n_iters=fc["n_iteration"],
                 )
                 write_wav(wavf, wav, fc["fs"])
+                plot_mlfb(feat["feats"], wavf)  # listening-check spectrogram
             except Exception as e:  # pragma: no cover
                 logging.info("ERROR: GriffinLim for %s (%s)", wavf, e)
 
