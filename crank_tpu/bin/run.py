@@ -50,7 +50,10 @@ def main():
     parser.add_argument("--stage", type=int, default=0)
     parser.add_argument("--stop_stage", type=int, default=7)
     parser.add_argument("--n_jobs", type=int, default=-1)
-    parser.add_argument("--voc", type=str, default="GL", choices=["GL", "PWG"])
+    parser.add_argument("--voc", type=str, default="GL",
+                        choices=["GL", "PWG", "NPWG"],
+                        help="GL=Griffin-Lim, NPWG=in-tree neural vocoder, "
+                             "PWG=external parallel_wavegan package")
     parser.add_argument("--voc_expdir", type=str, default="downloads/PWG")
     parser.add_argument("--resume_checkpoint", type=str, default="None")
     parser.add_argument("--decode_checkpoint", type=str, default="None")
@@ -197,6 +200,31 @@ def main():
                       "--conf", conf, "--rootdir", eval_wav,
                       "--outdir", outdir / "wav"],
                 outdir / "griffin_lim_decode.log", L, env,
+            )
+        elif args.voc == "NPWG":  # in-tree neural vocoder
+            voc_expdir = expdir / "vocoder"
+            if not list(voc_expdir.glob("checkpoint_*steps.pkl")):
+                # pretrain on natural pairs, then fine-tune on stage-4 dumps
+                run_cmd(
+                    py + ["crank_tpu.bin.vocoder_train", "--conf", conf,
+                          "--scpdir", scpdir, "--featdir", featdir,
+                          "--expdir", voc_expdir],
+                    outdir / "vocoder_train.log", L, env,
+                )
+                recon = expdir / confname / "reconstruction" / n_decode_steps
+                if recon.exists():
+                    run_cmd(
+                        py + ["crank_tpu.bin.vocoder_train", "--conf", conf,
+                              "--scpdir", scpdir, "--featdir", featdir,
+                              "--expdir", voc_expdir,
+                              "--decoded_rootdir", recon],
+                        outdir / "vocoder_finetune.log", L, env,
+                    )
+            run_cmd(
+                py + ["crank_tpu.bin.vocoder_decode", "--conf", conf,
+                      "--rootdir", eval_wav, "--outdir", outdir / "wav",
+                      "--expdir", voc_expdir],
+                outdir / "vocoder_decode.log", L, env,
             )
         else:  # PWG via external parallel-wavegan package
             voc_expdir = Path(args.voc_expdir)

@@ -1,0 +1,47 @@
+"""Neural-vocoder decoding CLI (parallel-wavegan-decode role): converts
+decoded-feature h5 dumps ('feats') to waveforms with a trained vocoder."""
+
+import argparse
+import logging
+import sys
+from pathlib import Path
+
+from crank_tpu.features.store import read_feature
+from crank_tpu.train.checkpoint import find_latest_checkpoint, load_checkpoint
+from crank_tpu.utils import load_yaml
+from crank_tpu.utils.audio_io import write_wav
+from crank_tpu.vocoder.train import VocoderTrainer
+
+logging.basicConfig(level=logging.INFO, stream=sys.stdout)
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Neural vocoder decode")
+    parser.add_argument("--conf", type=str)
+    parser.add_argument("--rootdir", type=str, help="decoded-feature h5 dir")
+    parser.add_argument("--outdir", type=str)
+    parser.add_argument("--expdir", type=str, help="vocoder experiment dir")
+    parser.add_argument("--checkpoint", type=str, default=None)
+    args = parser.parse_args()
+
+    conf = load_yaml(args.conf)
+    voc_conf = conf.get("vocoder", {})
+    voc_conf.setdefault("aux_channels", conf["feature"]["mlfb_dim"])
+    ckpt = args.checkpoint or find_latest_checkpoint(args.expdir)
+    assert ckpt, f"no vocoder checkpoint under {args.expdir}"
+    state = load_checkpoint(ckpt)
+    trainer = VocoderTrainer(voc_conf, args.expdir, resume_state=state)
+
+    rootdir, outdir = Path(args.rootdir), Path(args.outdir)
+    for h5f in sorted(rootdir.rglob("*.h5")):
+        mel = read_feature(h5f, "feats")
+        wav = trainer.decode_mel(mel)
+        rel = h5f.relative_to(rootdir).parent
+        (outdir / rel).mkdir(parents=True, exist_ok=True)
+        out = outdir / rel / (h5f.stem + ".wav")
+        write_wav(out, wav, conf["feature"]["fs"])
+        logging.info("wrote %s", out)
+
+
+if __name__ == "__main__":
+    main()

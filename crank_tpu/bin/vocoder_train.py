@@ -1,0 +1,68 @@
+"""Neural-vocoder training CLI (first-party replacement for the external
+parallel_wavegan trainer the reference depends on).
+
+Pretraining:  --wav from scp + natural 'mlfb' features.
+Fine-tuning:  --decoded_rootdir pointing at stage-4 reconstruction dumps
+(decoded 'feats' h5) — the reference's PWG fine-tuning path.
+"""
+
+import argparse
+import logging
+import sys
+from pathlib import Path
+
+from crank_tpu.train.checkpoint import find_latest_checkpoint, load_checkpoint
+from crank_tpu.utils import load_yaml, open_featsscp, open_scpdir
+from crank_tpu.vocoder.train import VocoderDataset, VocoderTrainer
+
+logging.basicConfig(level=logging.INFO, stream=sys.stdout)
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train neural vocoder")
+    parser.add_argument("--conf", type=str)
+    parser.add_argument("--scpdir", type=str)
+    parser.add_argument("--featdir", type=str)
+    parser.add_argument("--expdir", type=str)
+    parser.add_argument("--decoded_rootdir", type=str, default=None,
+                        help="fine-tune on decoded feature dumps")
+    parser.add_argument("--checkpoint", type=str, default=None)
+    parser.add_argument("--n_steps", type=int, default=None)
+    args = parser.parse_args()
+
+    conf = load_yaml(args.conf)
+    voc_conf = conf.get("vocoder", {})
+    voc_conf.setdefault("aux_channels", conf["feature"]["mlfb_dim"])
+
+    scp = open_scpdir(Path(args.scpdir) / "train")
+    featdir = Path(args.featdir) / conf["feature"]["label"]
+    feats = open_featsscp(featdir / "train" / "feats.scp")
+
+    ext = "mlfb"
+    if args.decoded_rootdir:
+        # map decoded h5 dumps back to their source uids by stem
+        decoded = {}
+        for h5f in Path(args.decoded_rootdir).rglob("*.h5"):
+            stem = h5f.stem.split("_org-")[0]
+            spkr = h5f.parent.name
+            decoded[f"{spkr}_{stem}"] = str(h5f)
+        feats = decoded
+        ext = "feats"
+
+    dataset = VocoderDataset(
+        scp["wav"], feats, hop_size=conf["feature"]["hop_size"],
+        batch_max_frames=voc_conf.get("batch_max_frames", 100), ext=ext,
+    )
+
+    resume_state = None
+    ckpt = args.checkpoint or find_latest_checkpoint(args.expdir)
+    if ckpt:
+        logging.info("resume from %s", ckpt)
+        resume_state = load_checkpoint(ckpt)
+    trainer = VocoderTrainer(voc_conf, args.expdir,
+                             resume_state=resume_state)
+    trainer.train(dataset, n_steps=args.n_steps)
+
+
+if __name__ == "__main__":
+    main()

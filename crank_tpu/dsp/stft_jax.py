@@ -73,18 +73,36 @@ def stft(
     return out[0] if squeeze else out
 
 
+def _overlap_add(frames, hop_size):
+    """OLA of [B, T, n_fft] frames at stride hop -> [B, n_fft + hop*(T-1)].
+
+    When hop divides n_fft this is computed as R = n_fft//hop shifted
+    reshape-adds (pure slicing, vectorizes on the VPU); TPU scatter-add with
+    colliding indices would serialize.
+    """
+    B, T, n_fft = frames.shape
+    out_len = n_fft + hop_size * (T - 1)
+    if n_fft % hop_size == 0:
+        R = n_fft // hop_size
+        chunks = frames.reshape(B, T, R, hop_size)
+        rows = T + R - 1
+        y = jnp.zeros((B, rows, hop_size), dtype=frames.dtype)
+        for j in range(R):
+            y = y.at[:, j : j + T].add(chunks[:, :, j])
+        return y.reshape(B, rows * hop_size)[:, :out_len]
+    idx = hop_size * jnp.arange(T)[:, None] + jnp.arange(n_fft)[None, :]
+    return jnp.zeros((B, out_len), dtype=frames.dtype).at[:, idx].add(frames)
+
+
 @partial(jax.jit, static_argnames=("n_fft", "hop_size", "center", "length"))
 def _istft_impl(S, win, *, n_fft, hop_size, center, length):
     B, T, _ = S.shape
     frames = jnp.fft.irfft(S, n=n_fft, axis=-1) * win[None, None, :]
     out_len = n_fft + hop_size * (T - 1)
-    idx = hop_size * jnp.arange(T)[:, None] + jnp.arange(n_fft)[None, :]
-    y = jnp.zeros((B, out_len), dtype=frames.dtype).at[:, idx].add(frames)
-    wss = (
-        jnp.zeros((out_len,), dtype=frames.dtype)
-        .at[idx.reshape(-1)]
-        .add(jnp.tile(win**2, (T,)))
-    )
+    y = _overlap_add(frames, hop_size)
+    wss = _overlap_add(
+        jnp.broadcast_to(win**2, (1, T, n_fft)), hop_size
+    )[0]
     y = y / jnp.maximum(wss, 1e-10)[None, :]
     if center:
         y = y[:, n_fft // 2 : out_len - n_fft // 2]

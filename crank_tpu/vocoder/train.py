@@ -1,0 +1,224 @@
+"""Vocoder training engine (jitted, data-parallel like the VC trainer).
+
+Covers both roles of the reference's external PWG dependency: pretraining a
+neural vocoder on natural (wav, mel) pairs, and fine-tuning it on the VC
+model's stage-4 reconstructed features (run.sh stage 6 path).
+"""
+
+import logging
+import random
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from crank_tpu.features.store import read_feature
+from crank_tpu.models.discriminator import ConvDiscriminator
+from crank_tpu.parallel.mesh import get_mesh, replicate, shard_batch
+from crank_tpu.train.checkpoint import save_checkpoint
+from crank_tpu.utils.audio_io import read_wav
+from crank_tpu.vocoder.loss import multi_resolution_stft_loss
+from crank_tpu.vocoder.model import PWGVocoder
+
+DEFAULTS = {
+    "batch_size": 8,
+    "batch_max_frames": 100,       # segment length in mel frames
+    "n_steps": 400000,
+    "n_steps_save_model": 5000,
+    "n_steps_print_loss": 100,
+    "discriminator_train_start_steps": 100000,
+    "lambda_adv": 4.0,
+    "generator_lr": 1e-4,
+    "discriminator_lr": 5e-5,
+    "stft_fft_sizes": [1024, 2048, 512],
+    "stft_hop_sizes": [120, 240, 50],
+    "stft_win_sizes": [600, 1200, 240],
+    "layers": 30,
+    "stacks": 3,
+    "upsample_strides": [8, 4, 4],
+}
+
+
+class VocoderDataset:
+    """(wav segment, aligned mel frames) pairs.
+
+    mel may come from the natural feats.scp ('mlfb') or from decoded
+    reconstruction dumps ('feats') for fine-tuning.
+    """
+
+    def __init__(self, wav_by_uid, feats_by_uid, hop_size,
+                 batch_max_frames=100, ext="mlfb", seed=0):
+        self.uids = [u for u in wav_by_uid if u in feats_by_uid]
+        self.wavs = wav_by_uid
+        self.feats = feats_by_uid
+        self.hop = hop_size
+        self.frames = batch_max_frames
+        self.ext = ext
+        self.rng = random.Random(seed)
+        self._cache = {}
+
+    def __len__(self):
+        return len(self.uids)
+
+    def _load(self, uid):
+        if uid not in self._cache:
+            x, fs = read_wav(self.wavs[uid])
+            mel = read_feature(self.feats[uid], self.ext)
+            self._cache[uid] = (x.astype(np.float32), mel)
+        return self._cache[uid]
+
+    def sample(self):
+        uid = self.rng.choice(self.uids)
+        x, mel = self._load(uid)
+        t_max = min(len(mel), len(x) // self.hop) - self.frames
+        if t_max <= 0:
+            mel = np.pad(mel, ((0, self.frames + 1 - len(mel)), (0, 0)))
+            x = np.pad(x, (0, (self.frames + 1) * self.hop - len(x)))
+            t0 = 0
+        else:
+            t0 = self.rng.randrange(t_max)
+        m = mel[t0 : t0 + self.frames]
+        w = x[t0 * self.hop : (t0 + self.frames) * self.hop]
+        return w, m
+
+    def batch(self, n):
+        ws, ms = zip(*[self.sample() for _ in range(n)])
+        return np.stack(ws), np.stack(ms).astype(np.float32)
+
+
+class VocoderTrainer:
+    def __init__(self, conf, expdir, mesh=None, seed=1234, resume_state=None):
+        self.conf = {**DEFAULTS, **conf}
+        self.expdir = Path(expdir)
+        self.mesh = mesh or get_mesh()
+        c = self.conf
+        self.g = PWGVocoder(
+            layers=c["layers"], stacks=c["stacks"],
+            aux_channels=c.get("aux_channels", 80),
+            upsample_strides=tuple(c["upsample_strides"]),
+        )
+        self.d = ConvDiscriminator(out_channels=1, kernel_size=3, layers=10,
+                                   conv_channels=64, dilation_factor=1)
+        self.hop = self.g.hop_size
+        L = c["batch_max_frames"] * self.hop
+        key = jax.random.PRNGKey(seed)
+        kg, kd = jax.random.split(key)
+        if resume_state is None:
+            pg = self.g.init(
+                kg, jnp.zeros((1, L)),
+                jnp.zeros((1, c["batch_max_frames"],
+                           c.get("aux_channels", 80))),
+            )["params"]
+            pd = self.d.init(kd, jnp.zeros((1, L, 1)))["params"]
+            self.opt_g = optax.adam(c["generator_lr"])
+            self.opt_d = optax.adam(c["discriminator_lr"])
+            state = {
+                "params": {"G": pg, "D": pd},
+                "ema": {},
+                "opt": {"G": self.opt_g.init(pg), "D": self.opt_d.init(pd)},
+            }
+            self.steps = 0
+        else:
+            self.opt_g = optax.adam(c["generator_lr"])
+            self.opt_d = optax.adam(c["discriminator_lr"])
+            state = {k: resume_state[k] for k in ("params", "ema", "opt")}
+            self.steps = resume_state["steps"]
+        self.state = {k: replicate(v, self.mesh) for k, v in state.items()}
+        self.rng = jax.random.PRNGKey(seed + 17)
+        self._steps_cache = {}
+
+    # ------------------------------------------------------------------ #
+
+    def _make_step(self, adv: bool):
+        if adv in self._steps_cache:
+            return self._steps_cache[adv]
+        c = self.conf
+        stft_kw = dict(
+            fft_sizes=tuple(c["stft_fft_sizes"]),
+            hop_sizes=tuple(c["stft_hop_sizes"]),
+            win_sizes=tuple(c["stft_win_sizes"]),
+        )
+
+        def step(state, wav, mel, rng):
+            params, opt = state["params"], state["opt"]
+            kz, kd = jax.random.split(rng)
+            z = jax.random.normal(kz, wav.shape)
+
+            def g_loss(pg):
+                y_hat = self.g.apply({"params": pg}, z, mel)
+                sc, lm = multi_resolution_stft_loss(y_hat, wav, **stft_kw)
+                loss = sc + lm
+                logs = {"spectral_convergence": sc, "log_stft_magnitude": lm}
+                if adv:
+                    fake = self.d.apply({"params": params["D"]},
+                                        y_hat[..., None])
+                    adv_loss = jnp.mean((fake - 1.0) ** 2)
+                    loss = loss + c["lambda_adv"] * adv_loss
+                    logs["adversarial"] = adv_loss
+                logs["G"] = loss
+                return loss, (logs, y_hat)
+
+            grads, (logs, y_hat) = jax.grad(g_loss, has_aux=True)(params["G"])
+            upd, og = self.opt_g.update(grads, opt["G"], params["G"])
+            params = {**params, "G": optax.apply_updates(params["G"], upd)}
+            opt = {**opt, "G": og}
+
+            if adv:
+                def d_loss(pd):
+                    real = self.d.apply({"params": pd}, wav[..., None])
+                    fake = self.d.apply(
+                        {"params": pd},
+                        jax.lax.stop_gradient(y_hat)[..., None],
+                    )
+                    return jnp.mean((real - 1.0) ** 2) + jnp.mean(fake**2)
+
+                dgrads = jax.grad(d_loss)(params["D"])
+                upd, od = self.opt_d.update(dgrads, opt["D"], params["D"])
+                params = {**params, "D": optax.apply_updates(params["D"], upd)}
+                opt = {**opt, "D": od}
+                logs["D"] = d_loss(params["D"])
+            return {"params": params, "ema": {}, "opt": opt}, logs
+
+        fn = jax.jit(step, donate_argnums=(0,))
+        self._steps_cache[adv] = fn
+        return fn
+
+    def train(self, dataset, n_steps=None):
+        c = self.conf
+        n_steps = n_steps or c["n_steps"]
+        while self.steps < n_steps:
+            wav, mel = dataset.batch(c["batch_size"])
+            batch = shard_batch({"wav": wav, "mel": mel}, self.mesh)
+            self.rng, k = jax.random.split(self.rng)
+            adv = self.steps > c["discriminator_train_start_steps"]
+            step_fn = self._make_step(adv)
+            self.state, logs = step_fn(self.state, batch["wav"],
+                                       batch["mel"], k)
+            if self.steps % c["n_steps_print_loss"] == 0:
+                logs = jax.device_get(logs)
+                logging.info(
+                    "vocoder step %d: %s", self.steps,
+                    {k: round(float(v), 4) for k, v in logs.items()},
+                )
+            self.steps += 1
+            if self.steps % c["n_steps_save_model"] == 0:
+                self.save()
+        self.save()
+
+    def save(self):
+        save_checkpoint(self.expdir, {
+            "steps": self.steps, "rng": self.rng, **self.state,
+        })
+
+    def decode_mel(self, mel, seed=0):
+        """mel [T, aux] -> waveform [T*hop] (one jitted forward)."""
+        mel = jnp.asarray(mel, jnp.float32)[None]
+        t = mel.shape[1]
+        t_pad = -(-t // 64) * 64
+        mel = jnp.pad(mel, ((0, 0), (0, t_pad - t), (0, 0)))
+        z = jax.random.normal(jax.random.PRNGKey(seed),
+                              (1, t_pad * self.hop))
+        y = self.g.apply({"params": self.state["params"]["G"]}, z, mel)
+        return np.asarray(y[0][: t * self.hop])
