@@ -117,10 +117,24 @@ class VCDataset:
         return len(self.h5list)
 
     def _read(self, idx):
+        """Read + normalize one utterance (cached: normalization is the
+        expensive per-item step; crop/cv-speaker randomness stays live,
+        improving on the reference cache which freezes the cv speaker,
+        conf/default.yml:34 note)."""
         if self.cache is not None and idx in self.cache:
             return self.cache[idx]
         h5f = str(self.h5list[idx])
         raw = {k: read_feature(h5f, ext=k) for k in self.features}
+        # keep the unnormalized lcf0 for the statistics-based F0 transform
+        # (computed on the raw log-F0 domain, dataset.py:95-100)
+        raw["lcf0_raw"] = np.copy(raw["lcf0"])
+        if self.scaler is not None:
+            ignore = set(self.conf.get("ignore_scaler", [])) | {"uv", "cap"}
+            for k in self.features:
+                if k not in ignore and k in self.scaler:
+                    raw[k] = self.scaler[k].transform(raw[k]).astype(
+                        np.float32
+                    )
         if self.cache is not None:
             self.cache[idx] = raw
         return raw
@@ -148,20 +162,15 @@ class VCDataset:
         sample["cv_h"] = np.full(
             flen, self.spkrdict[sample["cv_spkr_name"]], np.int64
         )
+        # NOTE: cv_lcf0 is computed in the raw log-F0 domain and intentionally
+        # left unnormalized, matching the reference exactly (dataset.py:95-100
+        # + :146-150; the eval-time path normalizes separately at
+        # basetrainer.py:311-320).  Normalization of the feature set itself
+        # happens once in _read (cached).
         sample["cv_lcf0"] = convert_f0(
-            self.scaler, sample["lcf0"], sample["org_spkr_name"],
+            self.scaler, sample.pop("lcf0_raw"), sample["org_spkr_name"],
             sample["cv_spkr_name"],
-        )
-
-        # normalization — NOTE: cv_lcf0 is intentionally left unnormalized,
-        # matching the reference exactly (dataset.py:146-150 only transforms
-        # the feature set; the eval-time path normalizes separately at
-        # basetrainer.py:311-320)
-        if self.scaler is not None:
-            ignore = set(self.conf.get("ignore_scaler", [])) | {"uv", "cap"}
-            for k in self.features:
-                if k not in ignore and k in self.scaler:
-                    sample[k] = self.scaler[k].transform(sample[k])
+        ).astype(np.float32)
 
         if "mcep" in self.features and not self.conf.get("use_mcep_0th", False):
             sample["mcep_0th"] = sample["mcep"][..., :1]
@@ -237,7 +246,7 @@ class DataLoader:
     """Shuffling, prefetching batch iterator over a VCDataset."""
 
     def __init__(self, dataset, batch_size, shuffle=True, seed=0,
-                 drop_last=True, prefetch=2):
+                 drop_last=True, prefetch=4):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -261,13 +270,19 @@ class DataLoader:
             yield sl
 
     def __iter__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
         q = queue.Queue(maxsize=self.prefetch)
         stop = object()
 
         def worker():
             try:
-                for sl in self._index_batches():
-                    q.put(collate([self.dataset[int(i)] for i in sl]))
+                with ThreadPoolExecutor(max_workers=4) as pool:
+                    for sl in self._index_batches():
+                        samples = list(
+                            pool.map(lambda i: self.dataset[int(i)], sl)
+                        )
+                        q.put(collate(samples))
             finally:
                 q.put(stop)
 

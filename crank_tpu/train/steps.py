@@ -600,13 +600,18 @@ class StepFactory:
         return fn
 
     def make_forward(self, use_cvfeats=False):
-        """Jitted conversion/reconstruction forward (no state mutation).
+        """Jitted conversion/reconstruction forward (no state mutation),
+        cached per conditioning variant so repeated conversion calls reuse
+        one compilation.
 
         Conditioning tensors (cv_lcf0 / spkr codes for an explicit target
         speaker) are prepared host-side and passed in the batch.
         """
+        key = ("forward", use_cvfeats)
+        if key in self._cache:
+            return self._cache[key]
 
-        @partial(jax.jit)
+        @jax.jit
         def fwd(params, ema, batch):
             args = self._g_args(batch, use_cvfeats=use_cvfeats)
             outs, _ = self.g_forward(
@@ -614,4 +619,5 @@ class StepFactory:
             )
             return outs["decoded"]
 
+        self._cache[key] = fwd
         return fwd
