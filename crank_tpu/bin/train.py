@@ -8,7 +8,6 @@ available — TPU in production, CPU for CI.
 
 import argparse
 import logging
-import pickle
 import sys
 from pathlib import Path
 

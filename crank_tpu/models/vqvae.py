@@ -14,7 +14,7 @@ reproduces the reference's in-place buffer mutation semantics explicitly.
 """
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Tuple
 
 import flax.linen as nn

@@ -18,8 +18,8 @@ reductions automatically (SURVEY.md §2.5 replacement).
 """
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Any, Dict, Optional
+
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ noise input, trained with multi-resolution STFT + LSGAN adversarial losses.
 [B, T, C] layout; generation of a full utterance is one jitted forward.
 """
 
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

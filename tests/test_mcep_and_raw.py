@@ -1,0 +1,126 @@
+"""Coverage for the mcep (WORLD) feature path and raw-waveform training.
+
+These are BASELINE.json configs 5 (mcep feat_type + WORLD synthesis) and the
+use_raw/use_sinc_conv variants.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from crank_tpu.features.scaler import StandardScaler
+from crank_tpu.features.store import write_features
+from crank_tpu.train.dataset import VCDataset, collate, select_device_batch
+from crank_tpu.train.factory import build_models, init_models
+from crank_tpu.train.optim import make_optimizers
+from crank_tpu.train.steps import Mode, StepFactory
+
+from tests.test_train import make_conf
+
+SPKRS = ["SF1", "SM1", "TF2"]
+BATCH_LEN = 32
+BATCH_SIZE = 8
+MCEP_DIM = 10  # conf feature mcep_dim; network sees mcep_dim (1..dim) dims
+
+
+@pytest.fixture(scope="module")
+def mcep_corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mcep_corpus")
+    rng = np.random.default_rng(3)
+    scaler = {"mlfb": StandardScaler(), "lcf0": StandardScaler(),
+              "mcep": StandardScaler()}
+    for s in SPKRS:
+        scaler[s] = {"lcf0": StandardScaler()}
+    feats = {}
+    for spkr in SPKRS:
+        for i in range(4):
+            T = int(rng.integers(40, 80))
+            mcep = rng.standard_normal((T, MCEP_DIM + 1)).astype(np.float32)
+            lcf0 = (5.0 + 0.1 * rng.standard_normal((T, 1))).astype(np.float32)
+            uv = (rng.random((T, 1)) > 0.2).astype(np.float32)
+            cap = rng.standard_normal((T, 2)).astype(np.float32)
+            h5f = root / spkr / f"{spkr}_{i:02d}.h5"
+            write_features(h5f, {"mcep": mcep, "lcf0": lcf0, "uv": uv,
+                                 "cap": cap})
+            scaler["mcep"].partial_fit(mcep)
+            scaler["lcf0"].partial_fit(lcf0)
+            scaler[spkr]["lcf0"].partial_fit(lcf0)
+            feats[f"{spkr}_{i:02d}"] = str(h5f)
+    scp = {p: {"feats": feats, "spkrs": SPKRS} for p in
+           ("train", "dev", "eval")}
+    return {"scp": scp, "scaler": scaler}
+
+
+def test_mcep_training_step(mcep_corpus):
+    conf = make_conf(
+        input_feat_type="mcep", output_feat_type="mcep",
+        input_size=MCEP_DIM, output_size=MCEP_DIM, use_mcep_0th=False,
+        ignore_scaler=["raw", "mcep"],
+    )
+    ds = VCDataset(conf, mcep_corpus["scp"], mcep_corpus["scaler"],
+                   phase="train", seed=0)
+    sample = ds[0]
+    # 0th coefficient split off, network sees mcep_dim dims
+    assert sample["in_feats"].shape == (BATCH_LEN, MCEP_DIM)
+    assert sample["mcep_0th"].shape == (BATCH_LEN, 1)
+    assert sample["cap"].shape == (BATCH_LEN, 2)
+    batch = select_device_batch(
+        collate([ds[i % len(ds)] for i in range(BATCH_SIZE)])
+    )
+    models = build_models(conf, spkr_size=len(SPKRS))
+    params, ema = init_models(models, conf, len(SPKRS),
+                              jax.random.PRNGKey(0), B=2, T=BATCH_LEN)
+    opts = make_optimizers(conf, list(models.keys()))
+    factory = StepFactory(conf, models, opts, spkr_size=len(SPKRS))
+    state = {"params": params, "ema": ema,
+             "opt": {m: opts[m].init(params[m]) for m in models}}
+    step = factory.make_step(Mode(trainer_type="vqvae"))
+    state, loss = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(jax.device_get(loss)["G"]))
+
+
+def test_raw_training_step(tmp_path):
+    """use_raw=True: the G input is the frame-aligned raw crop and the
+    differentiable log-mel frontend runs inside the train step."""
+    fftl, hop, dim = 256, 64, 16
+    conf = make_conf(use_raw=True)
+    rng = np.random.default_rng(0)
+    scaler = {"mlfb": StandardScaler(), "lcf0": StandardScaler()}
+    for s in SPKRS:
+        scaler[s] = {"lcf0": StandardScaler()}
+    feats = {}
+    for spkr in SPKRS:
+        for i in range(3):
+            T = int(rng.integers(40, 80))
+            raw = (0.1 * rng.standard_normal(T * hop + fftl)).astype(
+                np.float32
+            )
+            mlfb = rng.standard_normal((T, dim)).astype(np.float32)
+            lcf0 = (5.0 + 0.1 * rng.standard_normal((T, 1))).astype(np.float32)
+            uv = np.ones((T, 1), np.float32)
+            h5f = tmp_path / spkr / f"{spkr}_{i}.h5"
+            write_features(h5f, {"raw": raw, "mlfb": mlfb, "lcf0": lcf0,
+                                 "uv": uv})
+            scaler["mlfb"].partial_fit(mlfb)
+            scaler["lcf0"].partial_fit(lcf0)
+            scaler[spkr]["lcf0"].partial_fit(lcf0)
+            feats[f"{spkr}_{i}"] = str(h5f)
+    scp = {p: {"feats": feats, "spkrs": SPKRS} for p in
+           ("train", "dev", "eval")}
+    ds = VCDataset(conf, scp, scaler, phase="train", seed=0)
+    sample = ds[0]
+    assert sample["raw"].shape == (fftl + hop * BATCH_LEN - 1,)
+    batch = select_device_batch(
+        collate([ds[i % len(ds)] for i in range(BATCH_SIZE)])
+    )
+    assert "raw" in batch
+    models = build_models(conf, spkr_size=len(SPKRS))
+    params, ema = init_models(models, conf, len(SPKRS),
+                              jax.random.PRNGKey(0), B=2, T=BATCH_LEN)
+    opts = make_optimizers(conf, list(models.keys()))
+    factory = StepFactory(conf, models, opts, spkr_size=len(SPKRS))
+    state = {"params": params, "ema": ema,
+             "opt": {m: opts[m].init(params[m]) for m in models}}
+    step = factory.make_step(Mode(trainer_type="vqvae"))
+    state, loss = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(jax.device_get(loss)["G"]))
