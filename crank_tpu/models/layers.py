@@ -19,6 +19,7 @@ class Conv1d(nn.Module):
     use_bias: bool = True
     causal: bool = False
     weight_norm: bool = True
+    dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -30,6 +31,7 @@ class Conv1d(nn.Module):
             kernel_dilation=(self.dilation,),
             padding=padding,
             use_bias=self.use_bias,
+            dtype=self.dtype,
         )
         if self.weight_norm:
             conv = nn.WeightNorm(conv, variable_filter={"kernel"})
@@ -53,6 +55,7 @@ class ResidualBlock(nn.Module):
     causal: bool = False
     dropout: float = 0.0
     weight_norm: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -70,17 +73,21 @@ class ResidualBlock(nn.Module):
             dilation=self.dilation,
             causal=self.causal,
             weight_norm=self.weight_norm,
+            dtype=self.dtype,
         )(x)
         xa, xb = jnp.split(x, 2, axis=-1)
         if c is not None:
             c = Conv1d(self.gate_channels, 1, use_bias=False,
-                       weight_norm=self.weight_norm, name="aux_conv")(c)
+                       weight_norm=self.weight_norm, dtype=self.dtype,
+                       name="aux_conv")(c)
             ca, cb = jnp.split(c, 2, axis=-1)
             xa, xb = xa + ca, xb + cb
         x = jnp.tanh(xa) * nn.sigmoid(xb)
         skip = Conv1d(self.skip_channels, 1, weight_norm=self.weight_norm,
-                      name="skip_conv")(x)
+                      dtype=self.dtype, name="skip_conv")(x)
         out = Conv1d(self.residual_channels, 1, weight_norm=self.weight_norm,
-                     name="out_conv")(x)
-        out = (out + residual) * jnp.sqrt(0.5).astype(x.dtype)
+                     dtype=self.dtype, name="out_conv")(x)
+        out = (out + residual.astype(out.dtype)) * jnp.sqrt(0.5).astype(
+            out.dtype
+        )
         return out, skip

@@ -63,6 +63,8 @@ class VQVAE2Config:
     sinc_conv_kernel_size: int = 65
     sinc_conv_pools: Tuple[int, ...] = (4, 4, 4, 2)
     vq_kernel: str = "xla"  # "xla" | "pallas" (single-chip TPU EMA path)
+    # bf16 conv compute (params f32, VQ/losses f32) when "bf16"
+    mixed_precision: str = "none"
 
     @classmethod
     def from_conf(cls, conf: Dict[str, Any], spkr_size: int, scaler=None):
@@ -118,6 +120,10 @@ class VQVAE2Config:
             vq_kernel=os.environ.get(
                 "CRANK_TPU_VQ_KERNEL", conf.get("vq_kernel", "xla")
             ),
+            mixed_precision=os.environ.get(
+                "CRANK_TPU_MIXED_PRECISION",
+                conf.get("mixed_precision", "none"),
+            ),
         )
 
 
@@ -140,6 +146,7 @@ class VQVAE2(nn.Module):
 
     def setup(self):
         c = self.cfg
+        dtype = jnp.bfloat16 if c.mixed_precision == "bf16" else None
         encs, decs, qts = [], [], []
         for n in range(c.n_vq_stacks):
             if n == 0:
@@ -156,6 +163,7 @@ class VQVAE2(nn.Module):
                     gate_channels=c.gate_channels,
                     skip_channels=c.skip_channels,
                     causal=c.causal,
+                    dtype=dtype,
                     name=f"encoder_{n}",
                 )
             )
@@ -169,6 +177,7 @@ class VQVAE2(nn.Module):
                     gate_channels=c.gate_channels,
                     skip_channels=c.skip_channels,
                     causal=c.causal,
+                    dtype=dtype,
                     name=f"decoder_{n}",
                 )
             )

@@ -35,6 +35,7 @@ class WaveNetBackbone(nn.Module):
     causal: bool = False
     dropout: float = 0.0
     weight_norm: bool = True
+    dtype: Optional[jnp.dtype] = None  # bf16 compute on the MXU when set
 
     @property
     def receptive_field(self) -> int:
@@ -47,9 +48,13 @@ class WaveNetBackbone(nn.Module):
         c: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        """x: [B, T, in_ch]; c: optional [B, T, aux_ch]; returns [B, T, out]."""
+        """x: [B, T, in_ch]; c: optional [B, T, aux_ch]; returns [B, T, out]
+        (always float32 out; intermediate compute in self.dtype)."""
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            c = c.astype(self.dtype) if c is not None else None
         x = Conv1d(self.residual_channels, 1, weight_norm=self.weight_norm,
-                   name="first_conv")(x)
+                   dtype=self.dtype, name="first_conv")(x)
         skips = 0.0
         for i, d in enumerate(dilations_for(self.layers, self.stacks)):
             x, skip = ResidualBlock(
@@ -61,14 +66,15 @@ class WaveNetBackbone(nn.Module):
                 causal=self.causal,
                 dropout=self.dropout,
                 weight_norm=self.weight_norm,
+                dtype=self.dtype,
                 name=f"block_{i}",
             )(x, c, deterministic=deterministic)
             skips = skips + skip
         skips = skips * jnp.sqrt(1.0 / self.layers).astype(skips.dtype)
         y = nn.relu(skips)
         y = Conv1d(self.skip_channels, 1, weight_norm=self.weight_norm,
-                   name="post_conv1")(y)
+                   dtype=self.dtype, name="post_conv1")(y)
         y = nn.relu(y)
         y = Conv1d(self.out_channels, 1, weight_norm=self.weight_norm,
-                   name="post_conv2")(y)
-        return y
+                   dtype=self.dtype, name="post_conv2")(y)
+        return y.astype(jnp.float32)
