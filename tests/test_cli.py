@@ -1,0 +1,91 @@
+"""CLI-level tests for the smaller tools (scp generation, results
+aggregation, rename, config merge)."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _run(mod, *args):
+    res = subprocess.run(
+        [sys.executable, "-m", f"crank_tpu.bin.{mod}", *map(str, args)],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
+    return res
+
+
+def test_generate_scp(tmp_path):
+    for spkr in ("A1", "B2", "C3"):
+        d = tmp_path / "wav" / spkr
+        d.mkdir(parents=True)
+        for i in range(8):
+            (d / f"{i:03d}.wav").write_bytes(b"RIFF")
+    _run("generate_scp", "--wavdir", tmp_path / "wav",
+         "--scpdir", tmp_path / "scp", "--spkr_yml", tmp_path / "spkr.yml",
+         "--dev_utterances", 2, "--eval_utterances", 2,
+         "--eval_speakers", "")
+    spkr_yml = yaml.safe_load(open(tmp_path / "spkr.yml"))
+    assert set(spkr_yml) == {"A1", "B2", "C3"}
+    assert spkr_yml["A1"] == {"minf0": 40, "maxf0": 700, "npow": -20}
+    train = (tmp_path / "scp/train/wav.scp").read_text().splitlines()
+    dev = (tmp_path / "scp/dev/wav.scp").read_text().splitlines()
+    ev = (tmp_path / "scp/eval/wav.scp").read_text().splitlines()
+    assert len(train) == 3 * 4 and len(dev) == 3 * 2 and len(ev) == 3 * 2
+    utt2spk = dict(
+        line.split() for line in
+        (tmp_path / "scp/train/utt2spk").read_text().splitlines()
+    )
+    assert set(utt2spk.values()) == {"A1", "B2", "C3"}
+
+
+def test_generate_scp_eval_speakers(tmp_path):
+    for spkr in ("A1", "B2", "C3"):
+        d = tmp_path / "wav" / spkr
+        d.mkdir(parents=True)
+        for i in range(6):
+            (d / f"{i:03d}.wav").write_bytes(b"RIFF")
+    _run("generate_scp", "--wavdir", tmp_path / "wav",
+         "--scpdir", tmp_path / "scp", "--spkr_yml", tmp_path / "spkr.yml",
+         "--dev_utterances", 2, "--eval_speakers", "C3")
+    ev = (tmp_path / "scp/eval/wav.scp").read_text()
+    assert "C3" in ev and "A1" not in ev
+
+
+def test_rename_decoded(tmp_path):
+    d = tmp_path / "wav"
+    d.mkdir()
+    (d / "30001_org-SF1_cv-TF2_gen.wav").write_bytes(b"RIFF")
+    _run("rename_decoded", "--outwavdir", d)
+    assert (d / "SF1" / "30001_org-SF1_cv-TF2.wav").exists()
+
+
+def test_generate_results(tmp_path):
+    outdir = tmp_path / "exp" / "conf1" / "eval_wav" / "1000"
+    outdir.mkdir(parents=True)
+    (outdir / "mcd.log").write_text(
+        "A1 A1 5.0\nA1 B2 7.0\nB2 A1 9.0\n"
+    )
+    (outdir / "mosnet.log").write_text("A1 B2 3.5\nB2 A1 3.1\n")
+    _run("generate_results", "--expdir", tmp_path / "exp",
+         "--out", tmp_path / "RESULTS.md")
+    txt = (tmp_path / "RESULTS.md").read_text()
+    assert "MCD: 8.0" in txt  # mean over non-self pairs
+    assert "MOSnet: 3.3" in txt
+
+
+def test_yaml_default_merge(tmp_path, monkeypatch):
+    from crank_tpu.utils.config import load_yaml
+
+    default = {"a": 1, "nested": {"x": 1, "y": 2}, "keep": "d"}
+    override = {"a": 5, "nested": {"y": 9}}
+    yaml.safe_dump(default, open(tmp_path / "default.yml", "w"))
+    yaml.safe_dump(override, open(tmp_path / "conf.yml", "w"))
+    monkeypatch.setenv("CRANK_TPU_DEFAULT_YAML", str(tmp_path / "default.yml"))
+    conf = load_yaml(tmp_path / "conf.yml")
+    assert conf == {"a": 5, "nested": {"x": 1, "y": 9}, "keep": "d"}
