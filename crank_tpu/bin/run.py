@@ -270,7 +270,9 @@ def main():
                         "--out", outdir / "mosnet.log"]
         if args.mosnet_weights:
             mos_cmd += ["--weights", args.mosnet_weights]
-        run_cmd(mos_cmd, outdir / "mosnet_run.log", L, env)
+        # MOSnet is tiny; run it on CPU so it never queues behind the chip
+        mos_env = dict(env, CRANK_TPU_PLATFORM="cpu")
+        run_cmd(mos_cmd, outdir / "mosnet_run.log", L, mos_env)
         print("results:", outdir / "mcd.log", outdir / "mosnet.log")
 
 

@@ -7,11 +7,16 @@ available — TPU in production, CPU for CI.
 """
 
 import argparse
+import faulthandler
 import logging
+import signal
 import sys
 from pathlib import Path
 
 import jax
+
+# diagnosing hangs: `kill -USR1 <pid>` dumps all thread stacks to stderr
+faulthandler.register(signal.SIGUSR1, all_threads=True)
 
 from crank_tpu.features.scaler import load_scaler
 from crank_tpu.train.checkpoint import find_latest_checkpoint, load_checkpoint
