@@ -22,7 +22,7 @@ import numpy as np
 
 def main():
     from crank_tpu.configs import default_conf
-    from crank_tpu.dsp.griffin_lim import _griffin_lim_impl
+    from crank_tpu.dsp.gl import _griffin_lim_impl
     from crank_tpu.dsp.stft_jax import full_window
     from crank_tpu.models import VQVAE2, VQVAE2Config
 

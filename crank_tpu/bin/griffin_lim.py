@@ -9,7 +9,7 @@ import logging
 import sys
 from pathlib import Path
 
-from crank_tpu.dsp.griffin_lim import mlfb_to_wav
+from crank_tpu.dsp.gl import mlfb_to_wav
 from crank_tpu.features.store import read_feature
 from crank_tpu.utils import load_yaml
 from crank_tpu.utils.audio_io import write_wav

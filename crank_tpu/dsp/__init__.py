@@ -1,7 +1,36 @@
-from crank_tpu.dsp.windows import get_window, itug_729_window  # noqa: F401
-from crank_tpu.dsp.mel import mel_filterbank, hz_to_mel, mel_to_hz  # noqa: F401
-from crank_tpu.dsp.stft_np import stft_np, logmelfilterbank  # noqa: F401
-from crank_tpu.dsp.stft_jax import stft, istft, frame_signal  # noqa: F401
-from crank_tpu.dsp.griffin_lim import griffin_lim, mlfb_to_wav  # noqa: F401
-from crank_tpu.dsp.filters import low_cut_filter  # noqa: F401
-from crank_tpu.dsp.f0_utils import convert_continuous_f0, convert_f0  # noqa: F401
+"""DSP package with lazy submodule loading (PEP 562).
+
+Host-side worker processes (feature extraction via joblib) import only the
+numpy paths; deferring the jax-backed modules keeps worker startup fast.
+"""
+
+_LAZY = {
+    "get_window": "crank_tpu.dsp.windows",
+    "itug_729_window": "crank_tpu.dsp.windows",
+    "mel_filterbank": "crank_tpu.dsp.mel",
+    "hz_to_mel": "crank_tpu.dsp.mel",
+    "mel_to_hz": "crank_tpu.dsp.mel",
+    "mel_pseudo_inverse": "crank_tpu.dsp.mel",
+    "stft_np": "crank_tpu.dsp.spectrum",
+    "logmelfilterbank": "crank_tpu.dsp.spectrum",
+    "stft": "crank_tpu.dsp.stft_jax",
+    "istft": "crank_tpu.dsp.stft_jax",
+    "frame_signal": "crank_tpu.dsp.stft_jax",
+    "griffin_lim": "crank_tpu.dsp.gl",
+    "griffin_lim_np": "crank_tpu.dsp.gl",
+    "mlfb_to_wav": "crank_tpu.dsp.gl",
+    "low_cut_filter": "crank_tpu.dsp.filters",
+    "convert_continuous_f0": "crank_tpu.dsp.f0_utils",
+    "convert_f0": "crank_tpu.dsp.f0_utils",
+}
+
+__all__ = list(_LAZY)
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        mod = importlib.import_module(_LAZY[name])
+        return getattr(mod, name)
+    raise AttributeError(f"module 'crank_tpu.dsp' has no attribute '{name}'")

@@ -96,7 +96,7 @@ def griffin_lim_np(spc, n_fft=1024, hop_size=128, win_length=None,
     """Numpy Griffin-Lim for host-side one-off jobs (e.g. feature-extraction
     check wavs inside short-lived worker processes, where a jit compile would
     dominate).  Same algorithm as the device path."""
-    from crank_tpu.dsp.stft_np import stft_np, _pad_center
+    from crank_tpu.dsp.spectrum import stft_np, _pad_center
     from crank_tpu.dsp.windows import get_window
 
     spc = np.abs(np.asarray(spc, dtype=np.float64))  # [T, F]

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from crank_tpu.dsp.stft_np import stft_np
+from crank_tpu.dsp.spectrum import stft_np
 
 FS = 16000
 FFTL = 512

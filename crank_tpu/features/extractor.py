@@ -15,7 +15,7 @@ import numpy as np
 
 from crank_tpu.dsp.f0_utils import convert_continuous_f0
 from crank_tpu.dsp.filters import low_cut_filter
-from crank_tpu.dsp.stft_np import logmelfilterbank
+from crank_tpu.dsp.spectrum import logmelfilterbank
 from crank_tpu.dsp.windows import get_window
 from crank_tpu.features.store import write_features
 from crank_tpu.utils.audio_io import read_wav, write_wav
@@ -132,7 +132,7 @@ class FeatureExtractor:
         write_wav(self.h5_dir / (flbl + "_anasyn.wav"), anasyn, self.conf["fs"])
 
     def _mlfb2wavf(self, flbl, feats):
-        from crank_tpu.dsp.griffin_lim import mlfb_to_wav
+        from crank_tpu.dsp.gl import mlfb_to_wav
 
         for win_type in self.conf["window_types"]:
             name = "mlfb" if win_type == "hann" else f"mlfb_{win_type}"

@@ -332,7 +332,7 @@ class Trainer:
                 feat2hdf5(feat[k], path, ext=k)
 
     def _save_decoded_mlfb(self, feats):
-        from crank_tpu.dsp.griffin_lim import mlfb_to_wav
+        from crank_tpu.dsp.gl import mlfb_to_wav
         from crank_tpu.utils.audio_io import write_wav
 
         from crank_tpu.utils.plot import plot_mlfb
