@@ -301,12 +301,14 @@ class StepFactory:
 
         def loss_fn(pG, ema):
             lo = dict(loss)
+            enc_aux = None
             if mode.gan_flag and mode.trainer_type == "cyclegan":
                 outs, ema = self.g_forward(
                     pG, ema, self._cycle_args(batch), cycle=True
                 )
                 lo = self.vqvae_loss(batch, outs[0]["org"], lo)
                 lo = self.cycle_vqvae_loss(batch, outs, lo, params.get("C"))
+                enc_aux = outs[0]["org"]["encoded_unmod"]
                 if conf["use_spkradv_training"]:
                     lo = self.spkradv_g_loss(
                         batch, outs[0]["org"], lo, params["SPKRADV"], "org"
@@ -339,6 +341,7 @@ class StepFactory:
                 if conf["use_vqvae_loss"]:
                     lo = self.vqvae_loss(batch, outs[0]["org"], lo)
                 lo = self.cycle_vqvae_loss(batch, outs, lo, params.get("C"))
+                enc_aux = outs[0]["org"]["encoded_unmod"]
                 if conf["use_spkradv_training"]:
                     for label in ("cv", "recon"):
                         lo = self.spkradv_g_loss(
@@ -351,6 +354,7 @@ class StepFactory:
             elif mode.gan_flag:  # lsgan
                 outs, ema = self.g_forward(pG, ema, self._g_args(batch))
                 lo = self.vqvae_loss(batch, outs, lo)
+                enc_aux = outs["encoded_unmod"]
                 if conf["use_spkradv_training"]:
                     lo = self.spkradv_g_loss(
                         batch, outs, lo, params["SPKRADV"], "org"
@@ -373,6 +377,7 @@ class StepFactory:
                 if conf["use_vqvae_loss"]:
                     lo = self.vqvae_loss(batch, outs[0]["org"], lo)
                 lo = self.cycle_vqvae_loss(batch, outs, lo, params.get("C"))
+                enc_aux = outs[0]["org"]["encoded_unmod"]
                 if conf["use_spkradv_training"]:
                     for label in ("cv", "recon"):
                         lo = self.spkradv_g_loss(
@@ -381,20 +386,23 @@ class StepFactory:
             else:
                 outs, ema = self.g_forward(pG, ema, self._g_args(batch))
                 lo = self.vqvae_loss(batch, outs, lo)
+                enc_aux = outs["encoded_unmod"]
                 if conf["use_spkradv_training"]:
                     lo = self.spkradv_g_loss(
                         batch, outs, lo, params["SPKRADV"], "org"
                     )
-            return lo["G"], (lo, ema)
+            if enc_aux is not None:
+                enc_aux = [jax.lax.stop_gradient(e) for e in enc_aux]
+            return lo["G"], (lo, ema, enc_aux)
 
         if mode.do_update and not mode.stop_generator:
-            grads, (loss, ema) = jax.grad(loss_fn, has_aux=True)(
+            grads, (loss, ema, enc_aux) = jax.grad(loss_fn, has_aux=True)(
                 params["G"], ema
             )
             params, opt = self._opt_step("G", grads, params, opt)
         else:
-            _, (loss, ema) = loss_fn(params["G"], ema)
-        return params, ema, opt, loss
+            _, (loss, ema, enc_aux) = loss_fn(params["G"], ema)
+        return params, ema, opt, loss, enc_aux
 
     # ----------------------------- D updates ---------------------------- #
 
@@ -513,14 +521,25 @@ class StepFactory:
 
     # ------------------------- SPKRADV / C updates ---------------------- #
 
-    def update_SPKRADV(self, mode: Mode, params, ema, opt, batch, rng, loss):
+    def update_SPKRADV(self, mode: Mode, params, ema, opt, batch, rng, loss,
+                       enc_aux=None):
         er = self.er
+        # fast_spkradv (opt-in, conf key): reuse the pre-update G forward's
+        # encodings from the G loss instead of a fresh post-update forward.
+        # Saves one full G forward per step; the reference re-forwards with
+        # the just-updated parameters (trainer_vqvae.py:163-184), so this is
+        # a documented approximation, default off.
+        fast = bool(self.conf.get("fast_spkradv", False)) and enc_aux is not None
 
         def loss_fn(pA, ema):
-            outs, ema = self.g_forward(
-                params["G"], ema, self._g_args(batch)
-            )
-            encoded = [e[:, er:] for e in outs["encoded_unmod"]]
+            if fast:
+                enc_unmod = enc_aux
+            else:
+                outs, ema = self.g_forward(
+                    params["G"], ema, self._g_args(batch)
+                )
+                enc_unmod = outs["encoded_unmod"]
+            encoded = [e[:, er:] for e in enc_unmod]
             logits = self.spkradv_apply(pA, encoded, detach=True)
             lo = dict(loss)
             lo["SPKRADV"] = self.alpha["ce"] * self._ce_frames(
@@ -566,7 +585,7 @@ class StepFactory:
             keys = jax.random.split(rng, 4)
             if mode.gan_flag:
                 if conf["train_first"] == "G":
-                    params, ema, opt, loss = self.update_G(
+                    params, ema, opt, loss, enc_aux = self.update_G(
                         mode, params, ema, opt, batch, keys[0], loss
                     )
                     params, ema, opt, loss = self.update_D(
@@ -576,16 +595,17 @@ class StepFactory:
                     params, ema, opt, loss = self.update_D(
                         mode, params, ema, opt, batch, keys[1], loss
                     )
-                    params, ema, opt, loss = self.update_G(
+                    params, ema, opt, loss, enc_aux = self.update_G(
                         mode, params, ema, opt, batch, keys[0], loss
                     )
             else:
-                params, ema, opt, loss = self.update_G(
+                params, ema, opt, loss, enc_aux = self.update_G(
                     mode, params, ema, opt, batch, keys[0], loss
                 )
             if conf["use_spkradv_training"]:
                 params, ema, opt, loss = self.update_SPKRADV(
-                    mode, params, ema, opt, batch, keys[2], loss
+                    mode, params, ema, opt, batch, keys[2], loss,
+                    enc_aux=enc_aux,
                 )
             if conf["use_spkr_classifier"]:
                 params, ema, opt, loss = self.update_C(

@@ -124,3 +124,46 @@ def test_raw_training_step(tmp_path):
     step = factory.make_step(Mode(trainer_type="vqvae"))
     state, loss = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(jax.device_get(loss)["G"]))
+
+
+def test_causal_training_step(mcep_corpus):
+    """causal=True exercises the +/- causal loss trimming and the
+    receptive-field trimming of the speaker-adversarial loss."""
+    conf = make_conf(causal=True, causal_size=2)
+    ds = VCDataset(conf, mcep_corpus["scp"], mcep_corpus["scaler"],
+                   phase="train", seed=0)
+    # mcep corpus features work for mlfb-typed conf? use mcep conf instead
+    conf = make_conf(
+        causal=True, causal_size=2,
+        input_feat_type="mcep", output_feat_type="mcep",
+        input_size=MCEP_DIM, output_size=MCEP_DIM,
+    )
+    ds = VCDataset(conf, mcep_corpus["scp"], mcep_corpus["scaler"],
+                   phase="train", seed=0)
+    batch = select_device_batch(
+        collate([ds[i % len(ds)] for i in range(BATCH_SIZE)])
+    )
+    models = build_models(conf, spkr_size=len(SPKRS))
+    assert models["G"].encoder_receptive_size > 0
+    params, ema = init_models(models, conf, len(SPKRS),
+                              jax.random.PRNGKey(0), B=2, T=BATCH_LEN)
+    opts = make_optimizers(conf, list(models.keys()))
+    factory = StepFactory(conf, models, opts, spkr_size=len(SPKRS))
+    assert factory.er > 0
+    state = {"params": params, "ema": ema,
+             "opt": {m: opts[m].init(params[m]) for m in models}}
+    step = factory.make_step(Mode(trainer_type="vqvae"))
+    state, loss = step(state, batch, jax.random.PRNGKey(1))
+    loss = jax.device_get(loss)
+    assert np.isfinite(float(loss["G"]))
+    assert np.isfinite(float(loss["SPKRADV"]))
+    # negative causal_size trim direction too
+    conf2 = make_conf(
+        causal=True, causal_size=-2,
+        input_feat_type="mcep", output_feat_type="mcep",
+        input_size=MCEP_DIM, output_size=MCEP_DIM,
+    )
+    factory2 = StepFactory(conf2, models, opts, spkr_size=len(SPKRS))
+    step2 = factory2.make_step(Mode(trainer_type="vqvae"))
+    _, loss2 = step2(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(jax.device_get(loss2)["G"]))
