@@ -223,8 +223,24 @@ class VQVAE2(nn.Module):
     # ------------------------------------------------------------------ #
 
     def _maybe_preprocess(self, x: jnp.ndarray) -> jnp.ndarray:
-        if self.cfg.use_raw or self.cfg.use_sinc_conv:
+        if self.cfg.use_raw:
             return self.preprocess(x)
+        if self.cfg.use_sinc_conv:
+            out = self.preprocess(x)
+            # align the sinc frontend's frame grid to the STFT crop
+            # convention (raw crops are fftl + hop*T - 1 samples,
+            # dataset.py:261-278): trim the half-window lead-in and cut to
+            # the T frames the rest of the batch uses.  (The reference
+            # leaves this mismatch unresolved — its sinc path errors on
+            # frame-count mismatch at loss time.)
+            c = self.cfg
+            t = (x.shape[-1] - c.fftl) // c.hop_size + 1
+            offset = (c.fftl // 2) // c.hop_size
+            if out.shape[1] < offset + t:
+                out = jnp.pad(
+                    out, ((0, 0), (0, offset + t - out.shape[1]), (0, 0))
+                )
+            return out[:, offset : offset + t]
         return x
 
     def _make_dec_h(self, dec_h, spkrvec):

@@ -105,7 +105,10 @@ class VCDataset:
                          "lcf0", "uv"}
         if "mcep" in self.features:
             self.features.add("cap")
-        if conf.get("use_raw"):
+        if conf.get("use_raw") or conf.get("use_sinc_conv"):
+            # sinc-conv also consumes the frame-aligned raw crop (the
+            # reference's dataset gates on use_raw only — its sinc path
+            # never received waveforms)
             self.features.add("raw")
         self.spkrdict = dict(zip(self.spkrlist, range(len(self.spkrlist))))
         self.n_spkrs = len(self.spkrdict)

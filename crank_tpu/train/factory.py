@@ -73,10 +73,9 @@ def example_g_inputs(conf, spkr_size, B=2, T=None):
     """Example (feats, enc_h, dec_h, spkrvec) for initializing G."""
     T = T or conf["batch_len"]
     feat = conf["feature"]
-    if conf.get("use_raw"):
+    if conf.get("use_raw") or conf.get("use_sinc_conv"):
+        # frame-aligned raw crop convention (dataset.py padding_raw)
         x = jnp.zeros((B, feat["fftl"] + feat["hop_size"] * T - 1))
-    elif conf.get("use_sinc_conv"):
-        x = jnp.zeros((B, feat["hop_size"] * T))
     else:
         x = jnp.zeros((B, T, conf["input_size"]))
     enc_h = jnp.zeros((B, T, 2)) if conf["encoder_f0"] else None

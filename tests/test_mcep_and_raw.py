@@ -167,3 +167,51 @@ def test_causal_training_step(mcep_corpus):
     step2 = factory2.make_step(Mode(trainer_type="vqvae"))
     _, loss2 = step2(state, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(jax.device_get(loss2)["G"]))
+
+
+def test_sinc_conv_training_step(tmp_path):
+    """use_sinc_conv=True: learnable band-pass frontend feeding the VQ-VAE,
+    frame-aligned to the raw-crop convention."""
+    fftl, hop, dim = 256, 64, 16
+    conf = make_conf(use_sinc_conv=True)
+    conf["sinc_conv_down_sample_kernel_sizes"] = [4, 4, 4]  # prod == hop
+    conf["sinc_conv_channels"] = 8
+    rng = np.random.default_rng(0)
+    scaler = {"mlfb": StandardScaler(), "lcf0": StandardScaler()}
+    for s in SPKRS:
+        scaler[s] = {"lcf0": StandardScaler()}
+    feats = {}
+    for spkr in SPKRS:
+        for i in range(3):
+            T = int(rng.integers(40, 80))
+            raw = (0.1 * rng.standard_normal(T * hop + fftl)).astype(np.float32)
+            mlfb = rng.standard_normal((T, dim)).astype(np.float32)
+            lcf0 = (5.0 + 0.1 * rng.standard_normal((T, 1))).astype(np.float32)
+            h5f = tmp_path / spkr / f"{spkr}_{i}.h5"
+            write_features(h5f, {"raw": raw, "mlfb": mlfb, "lcf0": lcf0,
+                                 "uv": np.ones((T, 1), np.float32)})
+            scaler["mlfb"].partial_fit(mlfb)
+            scaler["lcf0"].partial_fit(lcf0)
+            scaler[spkr]["lcf0"].partial_fit(lcf0)
+            feats[f"{spkr}_{i}"] = str(h5f)
+    scp = {p: {"feats": feats, "spkrs": SPKRS} for p in
+           ("train", "dev", "eval")}
+    ds = VCDataset(conf, scp, scaler, phase="train", seed=0)
+    batch = select_device_batch(
+        collate([ds[i % len(ds)] for i in range(BATCH_SIZE)])
+    )
+    models = build_models(conf, spkr_size=len(SPKRS))
+    params, ema = init_models(models, conf, len(SPKRS),
+                              jax.random.PRNGKey(0), B=2, T=BATCH_LEN)
+    opts = make_optimizers(conf, list(models.keys()))
+    factory = StepFactory(conf, models, opts, spkr_size=len(SPKRS))
+    state = {"params": params, "ema": ema,
+             "opt": {m: opts[m].init(params[m]) for m in models}}
+    step = factory.make_step(Mode(trainer_type="vqvae"))
+    # snapshot before the step: state buffers are donated to the jit
+    f0 = np.array(jax.device_get(params["G"])["preprocess"]["SincConv_0"]["f"])
+    state, loss = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(jax.device_get(loss)["G"]))
+    # sinc filter params received gradient
+    f1 = jax.device_get(state["params"]["G"])["preprocess"]["SincConv_0"]["f"]
+    assert not np.allclose(f0, f1)
