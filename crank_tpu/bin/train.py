@@ -74,11 +74,13 @@ def main():
     elif args.flag in ("reconstruction", "eval"):
         ckpt = find_latest_checkpoint(expdir)
         assert ckpt is not None, f"no checkpoint under {expdir}"
+    rng_key = None
     if ckpt is not None:
         logging.info("load checkpoint: %s", ckpt)
         payload = load_checkpoint(ckpt)
         params, ema, opt = payload["params"], payload["ema"], payload["opt"]
         resume = payload["steps"]
+        rng_key = payload.get("rng")
         opts = make_optimizers(conf, list(models.keys()))
     else:
         params, ema = init_models(
@@ -113,6 +115,7 @@ def main():
         expdir=expdir,
         writer=writer,
         resume=resume,
+        rng_key=rng_key,
         init_state={"params": params, "ema": ema, "opt": opt},
         n_jobs=args.n_jobs,
     )

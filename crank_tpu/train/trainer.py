@@ -41,6 +41,7 @@ class Trainer:
         resume=0,
         init_state=None,
         rng_seed=1234,
+        rng_key=None,
         mesh=None,
         n_jobs=-1,
     ):
@@ -72,7 +73,12 @@ class Trainer:
             "ema": replicate(self.state["ema"], self.mesh),
             "opt": replicate(self.state["opt"], self.mesh),
         }
-        self.rng = jax.random.PRNGKey(rng_seed + self.steps)
+        # restore the checkpointed PRNG key when provided (exact-resume);
+        # otherwise derive one from the seed and step so restarts differ
+        if rng_key is not None:
+            self.rng = jax.numpy.asarray(rng_key)
+        else:
+            self.rng = jax.random.PRNGKey(rng_seed + self.steps)
         self.py_rng = random.Random(rng_seed)
         self.trainer_type = conf["trainer_type"]
         # batches are padded up to a multiple of the data-parallel axis so
