@@ -86,17 +86,19 @@ def main():
         state, loss = step(state, batch, k)
     jax.block_until_ready(loss["G"])
 
-    # best of 3 windows: tunneled/preemptible chips show transient
-    # throttling; the max is the honest device capability
+    # best of 5 spaced windows: tunneled/preemptible chips show multi-minute
+    # transient throttling; the max is the honest device capability
     n_iters = 10
     best_dt = float("inf")
-    for _ in range(3):
+    for w in range(5):
         t0 = time.perf_counter()
         for _ in range(n_iters):
             key, k = jax.random.split(key)
             state, loss = step(state, batch, k)
         jax.block_until_ready(loss["G"])
         best_dt = min(best_dt, time.perf_counter() - t0)
+        if w < 4:
+            time.sleep(15)
 
     frames_per_sec_per_chip = B * T * n_iters / best_dt / n_chips
     print(
