@@ -15,12 +15,20 @@ _LIB = _DIR / "lib" / "libcrank_dsp.so"
 
 
 def _build():
-    logging.info("building native DSP library (first use)...")
+    logging.info("building native DSP library...")
     subprocess.run(["make", "-C", str(_DIR)], check=True, capture_output=True)
 
 
-def load_library() -> ctypes.CDLL:
+def _stale() -> bool:
     if not _LIB.exists():
+        return True
+    lib_mtime = _LIB.stat().st_mtime
+    src = list((_DIR / "src").glob("*.cpp")) + list((_DIR / "src").glob("*.h"))
+    return any(p.stat().st_mtime > lib_mtime for p in src)
+
+
+def load_library() -> ctypes.CDLL:
+    if _stale():
         _build()
     lib = ctypes.CDLL(str(_LIB))
     return lib

@@ -195,3 +195,89 @@ def test_mosnet_random_init(voiced_signal):
     pred = MOSNetPredictor(weights=None)
     s = pred.predict_wav(x[: fs // 2], fs)
     assert np.isfinite(s)
+
+
+# --------------------- F0 quality gates (round-2 analyzer) -----------------
+
+
+def _pseudo_speech(fs, dur, f0fn, vmask_fn, snr_db, seed):
+    """Harmonic signal with syllabic AM, silence gaps and additive noise."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(fs * dur)) / fs
+    f0 = f0fn(t)
+    vm = vmask_fn(t)
+    phase = 2 * np.pi * np.cumsum(f0) / fs
+    x = sum(a * np.sin(k * phase)
+            for k, a in enumerate([0.5, 0.3, 0.15, 0.08], start=1)) * vm
+    x *= 0.6 + 0.4 * np.sin(2 * np.pi * 3 * t)
+    noise = rng.standard_normal(len(x))
+    noise *= np.sqrt(np.mean(x ** 2) / 10 ** (snr_db / 10)
+                     / np.mean(noise ** 2))
+    return x + noise, f0, vm
+
+
+@pytest.mark.parametrize(
+    "f0c,lo,hi,snr,seed",
+    [(200, 70, 340, 20, 0), (95, 40, 250, 10, 1), (255, 120, 500, 15, 2)],
+)
+def test_f0_gpe_vde(f0c, lo, hi, snr, seed):
+    """Gross pitch error ≈ 0 and voicing decision error < 12% under noise,
+    vibrato and silence gaps — incl. the low-F0 (95 Hz) case that round 1's
+    per-frame decision handled poorly."""
+    fs = 22050
+    x, f0t, vm = _pseudo_speech(
+        fs, 2.0,
+        lambda t: f0c * (1 + 0.12 * np.sin(2 * np.pi * 4 * t)),
+        lambda t: ((t % 0.5) < 0.35).astype(float), snr, seed)
+    f0 = world.f0_analyze(x, fs, shiftms=5.0, minf0=lo, maxf0=hi)
+    hop = int(round(5.0 / 1000 * fs))
+    ref = f0t[::hop][: len(f0)]
+    vref = vm[::hop][: len(f0)].astype(bool)
+    est_v = f0[: len(ref)] > 0
+    assert np.mean(est_v != vref) < 0.12, "voicing decision error too high"
+    both = est_v & vref
+    rel = np.abs(f0[: len(ref)][both] - ref[both]) / ref[both]
+    assert np.mean(rel > 0.2) < 0.005, "gross pitch errors (octave jumps)"
+
+
+def test_f0_pure_noise_unvoiced():
+    rng = np.random.default_rng(3)
+    f0 = world.f0_analyze(rng.standard_normal(22050), 22050, 5.0, 70, 340)
+    assert (f0 > 0).mean() < 0.02
+
+
+def test_f0_intrinsic_precision():
+    """Sub-0.1% median relative error on constant pitch (StoneMask-grade;
+    the NCC parabolic refinement pass)."""
+    fs = 22050
+    t = np.arange(fs) / fs
+    for f0c in (95.3, 151.7, 222.2, 317.9):
+        x = (0.5 * np.sin(2 * np.pi * f0c * t)
+             + 0.3 * np.sin(4 * np.pi * f0c * t)
+             + 0.1 * np.sin(6 * np.pi * f0c * t))
+        x += 0.02 * np.random.default_rng(0).standard_normal(len(x))
+        f0 = world.f0_analyze(x, fs, 5.0, 60, 450)
+        v = f0 > 0
+        assert v.mean() > 0.95
+        assert np.median(np.abs(f0[v] - f0c) / f0c) < 1e-3
+
+
+REF_WAV = "/root/reference/test/data/SF1_10001.wav"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(REF_WAV),
+                    reason="reference speech fixture not present")
+def test_f0_real_speech_track_quality():
+    """On real speech: plausible female range, smooth voiced runs, no octave
+    jumps (validates the Viterbi track on non-synthetic material)."""
+    import scipy.io.wavfile as wavfile
+
+    sr, w = wavfile.read(REF_WAV)
+    w = w.astype(np.float64) / 32768.0
+    f0 = world.f0_analyze(w, sr, 5.0, 120, 400)
+    v = f0 > 0
+    assert 0.3 < v.mean() < 0.7
+    assert 150 < np.median(f0[v]) < 280
+    run = np.abs(np.diff(np.log(np.maximum(f0, 1))))
+    run = run[(f0[1:] > 0) & (f0[:-1] > 0)]
+    assert (run > 0.15).mean() < 0.005, "octave jumps inside voiced runs"
