@@ -10,6 +10,7 @@ from joblib import Parallel, delayed
 from crank_tpu.eval.mcd import get_world_mcep, mcd, summarize_pairwise
 from crank_tpu.features.store import read_feature
 from crank_tpu.utils import load_yaml, open_featsscp
+from crank_tpu.utils.naming import parse_decoded_stem
 
 logging.basicConfig(
     level=logging.INFO,
@@ -19,10 +20,10 @@ logging.basicConfig(
 
 
 def calculate(cv_path, gt_file_list, conf, spkr_conf):
-    basename = cv_path.stem
-    number, orgspk, tarspk = basename.split("_")
-    tarspk = tarspk.split("-")[-1]
-    orgspk = orgspk.split("-")[-1]
+    parsed = parse_decoded_stem(cv_path.stem)
+    if parsed is None:
+        raise ValueError(f"not a decoded-file stem: {cv_path}")
+    number, orgspk, tarspk = parsed.uid, parsed.org, parsed.cv
 
     if conf["output_feat_type"] == "mcep":
         cv_mcep = read_feature(cv_path, "feats")

@@ -13,6 +13,7 @@ import numpy as np
 
 from crank_tpu.eval.mosnet import MOSNetPredictor
 from crank_tpu.utils.audio_io import read_wav
+from crank_tpu.utils.naming import parse_decoded_stem
 
 logging.basicConfig(level=logging.INFO, stream=sys.stdout)
 
@@ -29,14 +30,21 @@ def main():
     converted_files = sorted(Path(args.outwavdir).rglob("*.wav"))
     logging.info("number of utterances = %d", len(converted_files))
 
+    # audio reading/feature prep overlaps device inference via a thread pool
+    # (n_jobs parity with the reference CLI; inference itself is one device)
+    from joblib import Parallel, delayed
+
+    loaded = Parallel(n_jobs=args.n_jobs, prefer="threads")(
+        delayed(read_wav)(f) for f in converted_files
+    )
     pairwise = {}
-    for f in converted_files:
-        number, orgspk, tarspk = f.stem.split("_")[:3]
-        orgspk = orgspk.split("-")[-1]
-        tarspk = tarspk.split("-")[-1]
-        x, fs = read_wav(f)
+    for f, (x, fs) in zip(converted_files, loaded):
+        parsed = parse_decoded_stem(f.stem)
+        if parsed is None:
+            logging.warning("unrecognized decoded stem, skipping: %s", f)
+            continue
         score = predictor.predict_wav(x, fs)
-        pairwise.setdefault(f"{orgspk} {tarspk}", []).append(score)
+        pairwise.setdefault(f"{parsed.org} {parsed.cv}", []).append(score)
 
     out = sys.stdout if args.out is None else open(args.out, "w")
     for k in sorted(pairwise):

@@ -1,11 +1,18 @@
-"""Stage-1 initialization CLI (reference: crank/bin/generate_histogram.py).
+"""Stage-1 initialization: per-speaker F0 / normalized-power histograms.
 
-F0 and normalized-power histograms per speaker so the user can set
-spkr.yml minf0/maxf0/npow by eye.
+Role parity with the reference's stage-1 CLI (crank/bin/generate_histogram.py):
+the user reads ``<spkr>_f0histogram.png`` / ``<spkr>_npowhistogram.png`` and
+sets minf0/maxf0/npow in conf/spkr.yml accordingly.
+
+This implementation analyzes the whole corpus as one flat joblib worklist
+(rather than per-speaker pools) and draws suggested cutoffs directly on the
+figures: dashed verticals at the 1st/99th F0 percentiles and the 5th npow
+percentile, which is what a user would eyeball anyway.
 """
 
 import argparse
 import logging
+from collections import defaultdict
 from pathlib import Path
 
 import matplotlib
@@ -21,59 +28,75 @@ from crank_tpu.utils.audio_io import read_wav
 
 logging.basicConfig(level=logging.INFO)
 
-
-def create_histogram(data, figure_path, range_min=-70, range_max=20, step=10,
-                     xlabel="Power [dB]"):
-    plt.hist(data, bins=200, range=(range_min, range_max), density=True,
-             histtype="stepfilled")
-    plt.xlabel(xlabel)
-    plt.ylabel("Probability")
-    plt.xticks(np.arange(range_min, range_max, step))
-    Path(figure_path).parent.mkdir(parents=True, exist_ok=True)
-    plt.savefig(str(figure_path))
-    plt.close()
+# metric -> (histogram range, axis label, percentile guides)
+PANELS = {
+    "f0": ((40, 700), "Fundamental frequency [Hz]", (1, 99)),
+    "npow": ((-70, 20), "Normalized power [dB]", (5,)),
+}
 
 
-def extract_f0_and_npow(wavf):
-    logging.info("Extract: %s", wavf)
+def analyze_one(wavf):
+    """F0 track + per-frame normalized power for one utterance (wide-open
+    search range — the speaker's range is what stage 1 is determining)."""
     x, fs = read_wav(wavf)
     x = low_cut_filter(x, fs, cutoff=70)
-    # wide search range for initialization (speaker range still unknown)
     f0 = world.f0_analyze(x, fs, shiftms=5.0, minf0=40.0, maxf0=700.0)
-    spc = world.spectral_envelope(x, f0, fs, shiftms=5.0, fftl=1024)
-    npow = world.spc2npow(spc)
-    return {"f0": f0, "npow": npow}
-
-
-def create_histograms(args, spkr):
-    f0path = Path(args.figure_dir) / f"{spkr}_f0histogram.png"
-    npowpath = Path(args.figure_dir) / f"{spkr}_npowhistogram.png"
-    if f0path.exists() and npowpath.exists():
-        return
-    logging.info("Histogram generation for %s", spkr)
-    files = sorted((Path(args.wav_dir) / spkr).glob("*.wav"))
-    results = Parallel(n_jobs=args.n_jobs)(
-        delayed(extract_f0_and_npow)(str(f)) for f in files
+    npow = world.spc2npow(
+        world.spectral_envelope(x, f0, fs, shiftms=5.0, fftl=1024)
     )
-    f0s = np.hstack([r["f0"] for r in results])
-    npows = np.hstack([r["npow"] for r in results])
-    create_histogram(f0s[f0s > 0], f0path, range_min=40, range_max=700,
-                     step=50, xlabel="Fundamental frequency [Hz]")
-    create_histogram(npows, npowpath, range_min=-70, range_max=20, step=10,
-                     xlabel="Power [dB]")
+    return f0[f0 > 0], npow
+
+
+def plot_metric(values, metric, out_png):
+    rng, xlabel, guides = PANELS[metric]
+    fig, ax = plt.subplots(figsize=(8, 4))
+    ax.hist(values, bins=150, range=rng, density=True, color="#4878b0",
+            histtype="stepfilled")
+    for q in guides:
+        p = np.percentile(values, q)
+        ax.axvline(p, color="#c44e52", linestyle="--", linewidth=1)
+        ax.annotate(f"p{q}={p:.0f}", (p, ax.get_ylim()[1] * 0.9),
+                    fontsize=8, rotation=90, va="top")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel("Probability")
+    out_png.parent.mkdir(parents=True, exist_ok=True)
+    fig.tight_layout()
+    fig.savefig(out_png)
+    plt.close(fig)
 
 
 def main():
-    parser = argparse.ArgumentParser(
-        description="Generate F0/power histograms per speaker"
-    )
+    parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--n_jobs", type=int, default=-1)
     parser.add_argument("--wav_dir", type=str)
     parser.add_argument("--figure_dir", type=str)
     args = parser.parse_args()
-    spkrs = [s.name for s in sorted(Path(args.wav_dir).iterdir()) if s.is_dir()]
-    for spkr in spkrs:
-        create_histograms(args, spkr)
+
+    wav_dir, fig_dir = Path(args.wav_dir), Path(args.figure_dir)
+    work = []  # flat (spkr, wavf) list over the whole corpus
+    for spkr_dir in sorted(d for d in wav_dir.iterdir() if d.is_dir()):
+        spkr = spkr_dir.name
+        if all((fig_dir / f"{spkr}_{m}histogram.png").exists()
+               for m in PANELS):
+            logging.info("histograms exist for %s, skipping", spkr)
+            continue
+        work.extend((spkr, str(f)) for f in sorted(spkr_dir.glob("*.wav")))
+
+    logging.info("analyzing %d utterances", len(work))
+    results = Parallel(n_jobs=args.n_jobs)(
+        delayed(analyze_one)(wavf) for _, wavf in work
+    )
+
+    per_spkr = defaultdict(lambda: {"f0": [], "npow": []})
+    for (spkr, _), (f0, npow) in zip(work, results):
+        per_spkr[spkr]["f0"].append(f0)
+        per_spkr[spkr]["npow"].append(npow)
+
+    for spkr, agg in per_spkr.items():
+        for metric in PANELS:
+            plot_metric(np.concatenate(agg[metric]), metric,
+                        fig_dir / f"{spkr}_{metric}histogram.png")
+        logging.info("wrote histograms for %s", spkr)
 
 
 if __name__ == "__main__":

@@ -1,8 +1,19 @@
-"""Generate Kaldi-style scp files (reference: crank/bin/generate_scp.py).
+"""Generate Kaldi-style scp splits from a speaker-per-directory wav tree.
 
-Builds wav.scp/utt2spk/spk2utt train/dev/eval splits from a
-speaker-per-directory wav tree and auto-creates a default spkr.yml
-(minf0=40, maxf0=700, npow=-20).
+Role parity with the reference's scp stage (crank/bin/generate_scp.py): same
+split policy and on-disk format (wav.scp / utt2spk / spk2utt per split,
+uid = "<spkr>_<stem>"), and the same auto-created default spkr.yml
+(minf0=40, maxf0=700, npow=-20) that stage 1's histograms then inform.
+
+The split policy, as a contract:
+
+* with dedicated ``--eval_speakers``: those speakers contribute all of their
+  utterances to eval; every other speaker is split train/dev by the last
+  ``dev_utterances``.
+* otherwise each speaker is split from the tail: eval takes the last
+  ``eval_utterances``, dev the ``dev_utterances`` before those. A zero count
+  aliases that split to its neighbor (dev==eval when one of them is 0), and
+  dev==eval==0 is refused.
 """
 
 import argparse
@@ -18,14 +29,44 @@ from crank_tpu.utils.scp import write_scp
 logging.basicConfig(level=logging.INFO, stream=sys.stdout)
 
 
-def create_spkr_yml(path, spkrs):
-    spkr_yml = {s: {"minf0": 40, "maxf0": 700, "npow": -20} for s in spkrs}
+def split_plan(n, n_dev, n_eval, dedicated_eval):
+    """Return {split: slice} over a speaker's sorted utterance list.
+
+    ``dedicated_eval``: None when no --eval_speakers are in play, else a bool
+    saying whether THIS speaker is one of the dedicated eval speakers.
+    """
+    if dedicated_eval is not None:
+        if dedicated_eval:
+            return {"eval": slice(None)}
+        return {"train": slice(0, n - n_dev), "dev": slice(n - n_dev, n)}
+
+    if n_dev == 0 and n_eval == 0:
+        raise ValueError(
+            "dev_utterances and eval_utterances cannot both be zero"
+        )
+    if n_eval == 0:
+        tail = slice(n - n_dev, n)
+        return {"train": slice(0, n - n_dev), "dev": tail, "eval": tail}
+    if n_dev == 0:
+        head = slice(0, n - n_eval)
+        return {"train": head, "dev": head, "eval": slice(n - n_eval, n)}
+    return {
+        "train": slice(0, n - n_dev - n_eval),
+        "dev": slice(n - n_dev - n_eval, n - n_eval),
+        "eval": slice(n - n_eval, n),
+    }
+
+
+def default_spkr_yml(path, spkrs):
+    """Wide-open F0/power ranges; stage 1 histograms guide manual tuning."""
     with open(path, "w") as fp:
-        yaml.dump(spkr_yml, fp)
+        yaml.dump(
+            {s: {"minf0": 40, "maxf0": 700, "npow": -20} for s in spkrs}, fp
+        )
 
 
 def main():
-    parser = argparse.ArgumentParser(description="generate scp and spkr files")
+    parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--shuffle", default=False, action="store_true")
     parser.add_argument("--wavdir", type=str)
     parser.add_argument("--scpdir", type=str)
@@ -35,43 +76,27 @@ def main():
     parser.add_argument("--eval_speakers", type=str, nargs="*", default=[""])
     args = parser.parse_args()
 
-    spkrs = [s.name for s in sorted(Path(args.wavdir).iterdir()) if s.is_dir()]
-    assert len(spkrs) > 2, f"Need >2 speaker directories in {args.wavdir}"
+    wavdir = Path(args.wavdir)
+    spkrs = sorted(d.name for d in wavdir.iterdir() if d.is_dir())
+    assert len(spkrs) > 2, f"Need >2 speaker directories in {wavdir}"
     if not Path(args.spkr_yml).exists():
-        create_spkr_yml(args.spkr_yml, spkrs)
+        default_spkr_yml(args.spkr_yml, spkrs)
 
     scpdir = Path(args.scpdir)
-    n_dev, n_eval = args.dev_utterances, args.eval_utterances
     if scpdir.exists():
-        logging.info("scp directory already exists: %s", args.scpdir)
+        logging.info("scp directory already exists: %s", scpdir)
         return
 
+    eval_spkrs = {s for s in args.eval_speakers if s}
     for spkr in spkrs:
-        wavfs = sorted((Path(args.wavdir) / spkr).glob("**/*.wav"))
+        wavfs = sorted((wavdir / spkr).glob("**/*.wav"))
         if args.shuffle:
             wavfs = random.sample(wavfs, len(wavfs))
-        if args.eval_speakers[0] == "":
-            if n_eval == 0:
-                if n_dev == 0:
-                    raise ValueError("You need to make non-zero either dev or eval.")
-                write_scp(scpdir / "train", spkr, wavfs[:-n_dev])
-                write_scp(scpdir / "dev", spkr, wavfs[-n_dev:])
-                write_scp(scpdir / "eval", spkr, wavfs[-n_dev:])
-            elif n_dev != 0:
-                de = n_dev + n_eval
-                write_scp(scpdir / "train", spkr, wavfs[:-de])
-                write_scp(scpdir / "dev", spkr, wavfs[-de : -de + n_dev])
-                write_scp(scpdir / "eval", spkr, wavfs[-n_eval:])
-            else:
-                write_scp(scpdir / "train", spkr, wavfs[:-n_eval])
-                write_scp(scpdir / "dev", spkr, wavfs[:-n_eval])
-                write_scp(scpdir / "eval", spkr, wavfs[-n_eval:])
-        else:
-            if spkr not in args.eval_speakers:
-                write_scp(scpdir / "train", spkr, wavfs[:-n_dev])
-                write_scp(scpdir / "dev", spkr, wavfs[-n_dev:])
-            else:
-                write_scp(scpdir / "eval", spkr, wavfs)
+        dedicated = (spkr in eval_spkrs) if eval_spkrs else None
+        plan = split_plan(len(wavfs), args.dev_utterances,
+                          args.eval_utterances, dedicated)
+        for split, sl in plan.items():
+            write_scp(scpdir / split, spkr, wavfs[sl])
 
 
 if __name__ == "__main__":

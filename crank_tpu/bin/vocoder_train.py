@@ -42,8 +42,11 @@ def main():
     if args.decoded_rootdir:
         # map decoded h5 dumps back to their source uids by stem
         decoded = {}
+        from crank_tpu.utils.naming import parse_decoded_stem
+
         for h5f in Path(args.decoded_rootdir).rglob("*.h5"):
-            stem = h5f.stem.split("_org-")[0]
+            parsed = parse_decoded_stem(h5f.stem)
+            stem = parsed.uid if parsed else h5f.stem
             spkr = h5f.parent.name
             decoded[f"{spkr}_{stem}"] = str(h5f)
         feats = decoded

@@ -31,34 +31,47 @@ class ConvBlock(nn.Module):
     ch: int
 
     @nn.compact
-    def __call__(self, x):
-        x = nn.Conv(self.ch, (3, 3), strides=(1, 1), padding="SAME")(x)
-        x = nn.relu(x)
-        x = nn.Conv(self.ch, (3, 3), strides=(1, 1), padding="SAME")(x)
-        x = nn.relu(x)
-        x = nn.Conv(self.ch, (3, 3), strides=(1, 3), padding="SAME")(x)
-        x = nn.relu(x)
+    def __call__(self, x, mask):
+        """mask [B, T]: padded frames are re-zeroed after every conv — bias +
+        relu would otherwise light them up and leak into valid boundary
+        frames through the next conv's time window."""
+        m = mask[..., None, None]
+        for strides in ((1, 1), (1, 1), (1, 3)):
+            x = nn.Conv(self.ch, (3, 3), strides=strides, padding="SAME")(x)
+            x = nn.relu(x) * m
         return x
 
 
 class MOSNet(nn.Module):
     @nn.compact
-    def __call__(self, mag):
-        """mag: [B, T, 257] magnitude spectrogram -> (avg_score [B],
-        frame_scores [B, T])."""
+    def __call__(self, mag, lengths=None):
+        """mag: [B, T, 257] magnitude spectrogram (possibly zero-padded to a
+        time bucket), lengths: [B] true frame counts -> (avg_score [B],
+        frame_scores [B, T]).
+
+        The average is over the true ``lengths`` only, and the backward LSTM
+        reverses within each valid region (``seq_lengths``), so bucketed
+        zero-padding cannot bias the score (scores would otherwise depend on
+        utterance length mod bucket)."""
+        B, T = mag.shape[0], mag.shape[1]
+        if lengths is None:
+            lengths = jnp.full((B,), T, dtype=jnp.int32)
+        mask = jnp.arange(T)[None, :] < lengths[:, None]  # [B, T]
         x = mag[..., None]
         for ch in (16, 32, 64, 128):
-            x = ConvBlock(ch)(x)
-        B, T = x.shape[0], x.shape[1]
+            x = ConvBlock(ch)(x, mask)
         x = x.reshape(B, T, -1)  # [B, T, 4*128]
         lstm_fwd = nn.RNN(nn.OptimizedLSTMCell(128))
         lstm_bwd = nn.RNN(nn.OptimizedLSTMCell(128), reverse=True,
                           keep_order=True)
-        x = jnp.concatenate([lstm_fwd(x), lstm_bwd(x)], axis=-1)
+        x = jnp.concatenate(
+            [lstm_fwd(x), lstm_bwd(x, seq_lengths=lengths)], axis=-1
+        )
         x = nn.relu(nn.Dense(128)(x))
         x = nn.Dropout(0.3, deterministic=True)(x)
         frame = nn.Dense(1)(x)[..., 0]
-        return jnp.mean(frame, axis=1), frame
+        avg = jnp.sum(frame * mask, axis=1) / jnp.maximum(lengths, 1)
+        return avg, frame
 
 
 class MOSNetPredictor:
@@ -78,7 +91,7 @@ class MOSNetPredictor:
                 "params"
             ]
         self._fwd = jax.jit(
-            lambda p, m: self.model.apply({"params": p}, m)[0]
+            lambda p, m, n: self.model.apply({"params": p}, m, lengths=n)[0]
         )
 
     def predict_wav(self, x, fs):
@@ -89,12 +102,13 @@ class MOSNetPredictor:
                 np.linspace(0, len(x) - 1, n_out), np.arange(len(x)), x
             )
         mag = np.abs(stft_np(x, n_fft=FFTL, hop_size=HOP, window="hann"))
-        # pad frames to a multiple of 27 (the conv stack's 3^3 freq stride
-        # needs no length padding; time bucketing bounds recompiles)
+        # time bucketing bounds recompiles; the true frame count is passed so
+        # padding cannot bias the score (masked mean + seq_lengths reverse)
         t = mag.shape[0]
         t_pad = -(-t // 64) * 64
         mag = np.pad(mag, ((0, t_pad - t), (0, 0)))
-        score = self._fwd(self.params, jnp.asarray(mag[None], jnp.float32))
+        score = self._fwd(self.params, jnp.asarray(mag[None], jnp.float32),
+                          jnp.asarray([t], jnp.int32))
         return float(np.asarray(score)[0])
 
 

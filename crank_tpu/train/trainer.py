@@ -26,6 +26,7 @@ from crank_tpu.parallel.mesh import get_mesh, pad_batch_to, replicate, shard_bat
 from crank_tpu.train.checkpoint import save_checkpoint
 from crank_tpu.train.dataset import create_one_hot, select_device_batch
 from crank_tpu.train.steps import Mode, StepFactory
+from crank_tpu.utils.naming import format_decoded_stem
 
 
 class Trainer:
@@ -303,7 +304,8 @@ class Trainer:
         for n in range(decoded.shape[0]):
             org_spkr = batch["org_spkr_name"][n]
             cv_name = org_spkr if cv_spkr_name is None else cv_spkr_name
-            wavf = tdir / f"{batch['flbl'][n]}_org-{org_spkr}_cv-{cv_name}.wav"
+            stem = format_decoded_stem(batch["flbl"][n], org_spkr, cv_name)
+            wavf = tdir / f"{stem}.wav"
             flen = int(batch["flen"][n])
             feat = np.asarray(decoded[n][:flen], np.float64)
             entry = {}

@@ -89,3 +89,25 @@ def test_yaml_default_merge(tmp_path, monkeypatch):
     monkeypatch.setenv("CRANK_TPU_DEFAULT_YAML", str(tmp_path / "default.yml"))
     conf = load_yaml(tmp_path / "conf.yml")
     assert conf == {"a": 5, "nested": {"x": 1, "y": 9}, "keep": "d"}
+
+
+def test_rename_decoded_underscored_names(tmp_path):
+    """Utterance ids / speaker names with underscores (JVS-style) parse
+    correctly through the shared naming contract."""
+    d = tmp_path / "wav"
+    d.mkdir()
+    (d / "VOICEACTRESS100_001_org-jvs_001_cv-jvs_002_gen.wav").write_bytes(b"RIFF")
+    _run("rename_decoded", "--outwavdir", d)
+    assert (d / "jvs_001" /
+            "VOICEACTRESS100_001_org-jvs_001_cv-jvs_002.wav").exists()
+
+
+def test_naming_contract_roundtrip():
+    from crank_tpu.utils.naming import format_decoded_stem, parse_decoded_stem
+
+    stem = format_decoded_stem("utt_01_x", "spk_a", "spk_b")
+    p = parse_decoded_stem(stem)
+    assert p == ("utt_01_x", "spk_a", "spk_b", False)
+    p = parse_decoded_stem(stem + "_gen")
+    assert p.gen and p.uid == "utt_01_x"
+    assert parse_decoded_stem("no_markers_here") is None
