@@ -12,6 +12,7 @@ future tensor parallelism (models here are <10M params, so it stays size 1).
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -48,6 +49,53 @@ def replicate(tree, mesh: Mesh):
     """Replicate a pytree of arrays across the mesh."""
     sh = replicated(mesh)
     return jax.device_put(tree, sh)
+
+
+# ------------------------------ wire codec ------------------------------- #
+#
+# Host->device transfer is the training loop's bandwidth bottleneck (tunneled
+# single-chip here; DCN-fed hosts at scale). Batches are compressed on the
+# wire: binary-valued arrays (masks, uv flags, one-hots) travel as uint8
+# (lossless), integer label arrays as int8 (lossless: speaker ids and the
+# -100 ignore index fit), and real-valued feature arrays optionally as
+# float16 (~5e-4 relative error on standardized features, far below feature
+# extraction noise; set wire_dtype: float32 in the conf to disable).
+# A tiny jitted cast on device restores float32/int32 for the step functions.
+
+_WIRE_BINARY = frozenset((
+    "uv", "encoder_mask", "decoder_mask", "cycle_encoder_mask",
+    "cycle_decoder_mask", "org_h_onehot", "cv_h_onehot",
+))
+_WIRE_INT = frozenset(("org_h", "cv_h"))
+
+
+def encode_wire(batch: dict, feat_dtype=np.float16) -> dict:
+    out = {}
+    for k, v in batch.items():
+        if not isinstance(v, np.ndarray):
+            out[k] = v
+        elif k in _WIRE_BINARY:
+            out[k] = v.astype(np.uint8)
+        elif k in _WIRE_INT:
+            out[k] = v.astype(np.int8)
+        elif np.issubdtype(v.dtype, np.floating):
+            out[k] = v.astype(feat_dtype)
+        else:
+            out[k] = v
+    return out
+
+
+@jax.jit
+def decode_wire(batch: dict) -> dict:
+    out = {}
+    for k, v in batch.items():
+        if v.dtype == jnp.uint8 or jnp.issubdtype(v.dtype, jnp.floating):
+            out[k] = v.astype(jnp.float32) if v.dtype != jnp.float32 else v
+        elif jnp.issubdtype(v.dtype, jnp.integer):
+            out[k] = v.astype(jnp.int32) if v.dtype != jnp.int32 else v
+        else:
+            out[k] = v
+    return out
 
 
 def pad_batch_to(batch: dict, batch_size: int) -> dict:

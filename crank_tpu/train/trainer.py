@@ -22,7 +22,9 @@ import numpy as np
 
 from crank_tpu.dsp.f0_utils import convert_f0
 from crank_tpu.features.store import feat2hdf5
-from crank_tpu.parallel.mesh import get_mesh, pad_batch_to, replicate, shard_batch
+from crank_tpu.parallel.mesh import (
+    decode_wire, encode_wire, get_mesh, pad_batch_to, replicate, shard_batch,
+)
 from crank_tpu.train.checkpoint import save_checkpoint
 from crank_tpu.train.dataset import create_one_hot, select_device_batch
 from crank_tpu.train.steps import Mode, StepFactory
@@ -139,7 +141,36 @@ class Trainer:
             raise ValueError(f"unknown flag: {flag}")
 
     def _device_batch(self, batch):
-        return shard_batch(select_device_batch(batch), self.mesh)
+        b = select_device_batch(batch)
+        # in==out feature type (and no augmentation): out_feats is a host
+        # copy of in_feats — alias on device instead of shipping it twice
+        alias_out = (
+            "out_feats" in b
+            and self.conf["input_feat_type"] == self.conf["output_feat_type"]
+            and not self.conf.get("spec_augment", False)
+        )
+        if alias_out:
+            b.pop("out_feats")
+        wire = np.dtype(self.conf.get("wire_dtype", "float16"))
+        dev = decode_wire(shard_batch(encode_wire(b, wire), self.mesh))
+        if alias_out:
+            dev["out_feats"] = dev["in_feats"]
+        return dev
+
+    def _prefetch(self, iterator, depth=2):
+        """Ship batches to device `depth` ahead of consumption so H2D
+        transfer overlaps the previous step's compute (device_put is async).
+        On a tunneled/DCN-fed host this is the difference between
+        transfer-bound and compute-bound stepping."""
+        import collections
+
+        queue = collections.deque()
+        for batch in iterator:
+            queue.append(self._device_batch(batch))
+            if len(queue) >= depth:
+                yield queue.popleft()
+        while queue:
+            yield queue.popleft()
 
     def _next_rng(self):
         self.rng, k = jax.random.split(self.rng)
@@ -165,12 +196,10 @@ class Trainer:
             logging.info("profiler trace written to %s", pdir)
 
     def _tr_epoch(self):
-        for batch in self.dataloaders["train"]:
+        for dev_batch in self._prefetch(self.dataloaders["train"]):
             self._maybe_profile()
             step_fn = self.factory.make_step(self._mode())
-            self.state, loss = step_fn(
-                self.state, self._device_batch(batch), self._next_rng()
-            )
+            self.state, loss = step_fn(self.state, dev_batch, self._next_rng())
             if self.steps % self.conf["n_steps_print_loss"] == 0:
                 loss = jax.device_get(loss)
                 self._print_loss(loss, phase="train")
@@ -232,9 +261,10 @@ class Trainer:
         fwd = self.factory.make_forward(use_cvfeats=False)
         for dkey in ("train", "dev"):
             for batch in self.dataloaders[dkey]:
-                batch, n_valid = pad_batch_to(
-                    batch, self.dataloaders["batch_size"]
-                )
+                # pad to the mesh-multiple batch (NOT the raw loader batch
+                # size): on a mesh whose data axis doesn't divide batch_size
+                # the ragged last batch must still shard evenly
+                batch, n_valid = pad_batch_to(batch, self.pad_batch_size)
                 decoded = np.asarray(
                     fwd(self.state["params"], self.state["ema"],
                         self._device_batch(batch))
