@@ -34,15 +34,47 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Put array values of a batch dict on device, sharded along 'data'."""
+    """Put array values of a batch dict on device, sharded along 'data'.
+
+    Multi-host (jax.process_count() > 1): each process passes only its LOCAL
+    rows (the loaders are process-sharded, see train/dataset.py) and the
+    global array is assembled from per-process shards — no host ever
+    materializes or ships the global batch (SURVEY.md §2.5's replacement for
+    the reference's process-level cluster story)."""
     sh = batch_sharding(mesh)
+    multiproc = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray):
-            out[k] = jax.device_put(v, sh)
+            if multiproc:
+                out[k] = jax.make_array_from_process_local_data(sh, v)
+            else:
+                out[k] = jax.device_put(v, sh)
         else:
             out[k] = v
     return out
+
+
+def local_rows(arr) -> np.ndarray:
+    """This process's rows of a batch-sharded global array, in global row
+    order (the full array when single-process / fully addressable)."""
+    if not isinstance(arr, jax.Array) or arr.is_fully_addressable:
+        return np.asarray(arr)
+    shards = sorted(
+        arr.addressable_shards, key=lambda s: s.index[0].start or 0
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+def fetch_replicated(tree):
+    """device_get that is safe for replicated arrays on multi-host (plain
+    jax.device_get refuses non-fully-addressable arrays)."""
+    def get(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return np.asarray(x.addressable_data(0))
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(get, tree)
 
 
 def replicate(tree, mesh: Mesh):

@@ -447,10 +447,39 @@ class DataLoader:
             yield item
 
 
-def get_dataloaders(conf, scp, scaler, flag="train", seed=0):
+def shard_dataset_for_process(ds, process_index, process_count):
+    """Restrict a VCDataset to this process's round-robin slice of the
+    utterance list (multi-host input pipeline: each host reads and feeds only
+    its own rows of the global batch). Slices are equalized by repeating the
+    last utterance so every process yields the same number of batches — a
+    shorter host would otherwise deadlock the collective step."""
+    if process_count <= 1:
+        return ds
+    n_local = -(-len(ds.h5list) // process_count)
+    ds.h5list = ds.h5list[process_index::process_count]
+    ds._labels = ds._labels[process_index::process_count]
+    while len(ds.h5list) < n_local:
+        ds.h5list.append(ds.h5list[-1])
+        ds._labels.append(ds._labels[-1])
+    return ds
+
+
+def get_dataloaders(conf, scp, scaler, flag="train", seed=0,
+                    process_index=None, process_count=None):
     """Build train/dev/eval loaders; for reconstruction/eval the geometry is
     recomputed to full utterances (trainer/utils.py:77-106 semantics, with the
-    max length rounded up to a 64-frame bucket to keep XLA shapes stable)."""
+    max length rounded up to a 64-frame bucket to keep XLA shapes stable).
+
+    Multi-host: ``batch_size``/``batch_len`` in the returned dict stay GLOBAL
+    (they define the jit geometry); each loader yields this process's
+    ``local_batch_size`` rows. Train phases sample independent crops per
+    process (seed offset); dev/eval/reconstruction shard the utterance list
+    round-robin so every utterance is decoded exactly once across hosts."""
+    import jax
+
+    pc = jax.process_count() if process_count is None else process_count
+    pi = jax.process_index() if process_index is None else process_index
+
     if flag in ("train", "reconstruction"):
         feats = list(scp["train"]["feats"].values()) + list(
             scp["dev"]["feats"].values()
@@ -465,23 +494,36 @@ def get_dataloaders(conf, scp, scaler, flag="train", seed=0):
         batch_len = -(-calculate_maxflen(feats) // 64) * 64
         batch_size = max(1, token_size // batch_len)
 
+    if batch_size % pc:
+        raise ValueError(
+            f"global batch_size {batch_size} must divide evenly over "
+            f"{pc} processes"
+        )
+    local_batch_size = batch_size // pc
+
     spkrs = dict(zip(scp["train"]["spkrs"], range(len(scp["train"]["spkrs"]))))
-    loaders = {"spkrs": spkrs, "batch_len": batch_len, "batch_size": batch_size}
+    loaders = {"spkrs": spkrs, "batch_len": batch_len,
+               "batch_size": batch_size,
+               "local_batch_size": local_batch_size}
     for phase, shuffle in (("train", True), ("dev", True), ("eval", False)):
         ds = VCDataset(conf, scp, scaler, phase=phase, batch_len=batch_len,
-                       seed=seed + hash(phase) % 1000)
+                       seed=seed + hash(phase) % 1000 + pi * 7919)
+        train_sampling = phase == "train" and flag == "train"
+        if not train_sampling:
+            # deterministic full-utterance phases: disjoint per-host slices
+            ds = shard_dataset_for_process(ds, pi, pc)
         if (
-            phase == "train"
-            and flag == "train"
+            train_sampling
             and not conf.get("use_raw")
             and conf.get("cache_dataset", True)
         ):
             loaders[phase] = VectorizedLoader(
-                ds, batch_size=batch_size, seed=seed
+                ds, batch_size=local_batch_size, seed=seed + pi * 7919
             )
         else:
             loaders[phase] = DataLoader(
-                ds, batch_size=batch_size, shuffle=shuffle, seed=seed,
+                ds, batch_size=local_batch_size, shuffle=shuffle,
+                seed=seed + pi * 7919,
                 drop_last=(phase == "train" and flag == "train"),
             )
     return loaders

@@ -23,7 +23,8 @@ import numpy as np
 from crank_tpu.dsp.f0_utils import convert_f0
 from crank_tpu.features.store import feat2hdf5
 from crank_tpu.parallel.mesh import (
-    decode_wire, encode_wire, get_mesh, pad_batch_to, replicate, shard_batch,
+    decode_wire, encode_wire, fetch_replicated, get_mesh, local_rows,
+    pad_batch_to, replicate, shard_batch,
 )
 from crank_tpu.train.checkpoint import save_checkpoint
 from crank_tpu.train.dataset import create_one_hot, select_device_batch
@@ -85,9 +86,11 @@ class Trainer:
         self.py_rng = random.Random(rng_seed)
         self.trainer_type = conf["trainer_type"]
         # batches are padded up to a multiple of the data-parallel axis so
-        # every compiled shape shards evenly over the mesh
+        # every compiled shape shards evenly over the mesh; on multi-host,
+        # each process pads only its local slice of that global shape
         n_data = self.mesh.shape["data"]
-        self.pad_batch_size = -(-dataloaders["batch_size"] // n_data) * n_data
+        global_pad = -(-dataloaders["batch_size"] // n_data) * n_data
+        self.pad_batch_size = global_pad // jax.process_count()
 
     # --------------------------- phase flags ---------------------------- #
 
@@ -201,7 +204,7 @@ class Trainer:
             step_fn = self.factory.make_step(self._mode())
             self.state, loss = step_fn(self.state, dev_batch, self._next_rng())
             if self.steps % self.conf["n_steps_print_loss"] == 0:
-                loss = jax.device_get(loss)
+                loss = fetch_replicated(loss)
                 self._print_loss(loss, phase="train")
                 self._flush_writer(loss, phase="train")
             self._dev_step()
@@ -243,7 +246,7 @@ class Trainer:
             if dev_idx > 0:
                 break
         if dev_loss is not None:
-            dev_loss = jax.device_get(dev_loss)
+            dev_loss = fetch_replicated(dev_loss)
             self._print_loss(dev_loss, phase="dev")
             self._flush_writer(dev_loss, phase="dev")
 
@@ -265,7 +268,7 @@ class Trainer:
                 # size): on a mesh whose data axis doesn't divide batch_size
                 # the ragged last batch must still shard evenly
                 batch, n_valid = pad_batch_to(batch, self.pad_batch_size)
-                decoded = np.asarray(
+                decoded = local_rows(
                     fwd(self.state["params"], self.state["ema"],
                         self._device_batch(batch))
                 )
@@ -296,7 +299,7 @@ class Trainer:
             T, self.n_spkrs, spkr_num, B=B
         ).astype(np.float32)
         fwd = self.factory.make_forward(use_cvfeats=True)
-        return np.asarray(
+        return local_rows(
             fwd(self.state["params"], self.state["ema"],
                 self._device_batch(cv_batch))
         )
@@ -411,6 +414,8 @@ class Trainer:
     # ---------------------------- bookkeeping --------------------------- #
 
     def save_model(self):
+        if jax.process_index() != 0:
+            return  # one writer per cluster; params/opt are replicated
         state = {
             "steps": self.steps,
             "params": self.state["params"],
