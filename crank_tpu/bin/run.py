@@ -228,13 +228,28 @@ def main():
             )
         else:  # PWG via external parallel-wavegan package
             voc_expdir = Path(args.voc_expdir)
+            if not voc_expdir.is_absolute():
+                voc_expdir = recipe / voc_expdir
             ckpts = sorted(voc_expdir.rglob("*.pkl"),
                            key=lambda p: p.stat().st_mtime)
             if not ckpts:
+                # bootstrap the published pretrained bundle
+                # (local/download_pretrained_vocoder.sh role)
+                fetcher = (Path(__file__).resolve().parents[2]
+                           / "tools" / "fetch_pretrained.py")
+                run_cmd(
+                    [sys.executable, fetcher, "--preset", "PWG",
+                     "--outdir", voc_expdir],
+                    outdir / "fetch_pretrained.log", L, env,
+                )
+                ckpts = sorted(voc_expdir.rglob("*.pkl"),
+                               key=lambda p: p.stat().st_mtime)
+            if not ckpts:
                 raise SystemExit(
                     f"PWG vocoder checkpoint not found under {voc_expdir}; "
-                    "download a pretrained parallel-wavegan model there or "
-                    "use --voc GL"
+                    "download a pretrained parallel-wavegan model there "
+                    "(tools/fetch_pretrained.py --preset PWG) or use "
+                    "--voc GL / --voc NPWG"
                 )
             run_cmd(
                 ["parallel-wavegan-normalize", "--skip-wav-copy",
@@ -268,8 +283,34 @@ def main():
         mos_cmd = py + ["crank_tpu.bin.evaluate_mosnet",
                         "--outwavdir", outdir / "wav",
                         "--out", outdir / "mosnet.log"]
-        if args.mosnet_weights:
-            mos_cmd += ["--weights", args.mosnet_weights]
+        mosnet_weights = args.mosnet_weights
+        if mosnet_weights is None:
+            # bootstrap the published MOSNet checkpoint (fetch + Keras->flax
+            # conversion); scores are random-init noise without real weights,
+            # so try hard before falling back
+            tools = Path(__file__).resolve().parents[2] / "tools"
+            npz = downloads / "MOSNet" / "mosnet.npz"
+            if not npz.exists():
+                try:
+                    run_cmd(
+                        [sys.executable, tools / "fetch_pretrained.py",
+                         "--preset", "MOSNET", "--ext", "h5",
+                         "--outdir", npz.parent],
+                        outdir / "fetch_mosnet.log", L, env,
+                    )
+                    keras_h5 = next(npz.parent.rglob("*.h5"))
+                    run_cmd(
+                        [sys.executable, tools / "convert_mosnet.py",
+                         "--keras_h5", keras_h5, "--out", npz],
+                        outdir / "convert_mosnet.log", L, env,
+                    )
+                except (SystemExit, StopIteration):
+                    print("MOSNet weights unavailable (offline?) — stage 7 "
+                          "MOS scores will be random-init noise")
+            if npz.exists():
+                mosnet_weights = str(npz)
+        if mosnet_weights:
+            mos_cmd += ["--weights", mosnet_weights]
         # MOSnet is tiny; run it on CPU so it never queues behind the chip
         mos_env = dict(env, CRANK_TPU_PLATFORM="cpu")
         run_cmd(mos_cmd, outdir / "mosnet_run.log", L, mos_env)
