@@ -10,10 +10,11 @@ trainer step, all three optimizer updates included.
 
 Baseline: the reference cannot train on CPU (crank/bin/train.py:158-159) and
 publishes no throughput numbers, so the baseline is a first-party torch-CPU
-proxy of the same step (same conv stack geometry, same batch, fwd+bwd for
-G/SPKRADV/C, OMP_NUM_THREADS=1 as set by the reference's path.sh), measured
-on this machine at 6,302 frames/sec.  vs_baseline is the speedup multiple
-(target from BASELINE.json: >= 10x).
+proxy of the same step — benchmarks/torch_cpu_baseline.py, committed so the
+multiple is reproducible — (same conv stack geometry, same batch, fwd+bwd
+for G/SPKRADV/C, OMP_NUM_THREADS=1 as set by the reference's path.sh),
+measured on this machine at 6,302 frames/sec on an idle core.  vs_baseline
+is the speedup multiple (target from BASELINE.json: >= 10x).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
