@@ -233,8 +233,11 @@ class VectorizedLoader:
     VCDataset (same crop distribution, pad values, -100 labels, raw-domain
     cv-F0 transform); measured ~6x faster at the production 50x500 geometry.
 
-    Used for mel/mcep training; the raw-waveform path and full-utterance
-    eval keep the per-item loader.
+    Covers mel/mcep AND the raw/sinc path (precomputed waveform banks, see
+    _build_raw_banks); full-utterance eval keeps the per-item loader.
+    Banks hold the whole training set in RAM (features, plus waveforms when
+    use_raw) — set cache_dataset: false to fall back to the per-item loader
+    on corpora that don't fit.
     """
 
     def __init__(self, dataset: "VCDataset", batch_size, seed=0):
@@ -267,6 +270,7 @@ class VectorizedLoader:
                 self.bank[k][i, : flens[i]] = r[k][: flens[i]]
             self.bank["lcf0_raw"][i, : flens[i]] = r["lcf0_raw"][: flens[i]]
         self.flens = flens
+        self._build_raw_banks(raws)
         self.spkr_ids = np.array(
             [ds.spkrdict[s] for _, s in ds._labels], np.int32
         )
@@ -280,6 +284,52 @@ class VectorizedLoader:
         )
         self.eye = np.eye(S, dtype=np.float32)
         self._built = True
+
+    def _build_raw_banks(self, raws):
+        """Waveform banks for the raw/sinc path (round-1 gap: raw training
+        fell back to the per-item loader). Two precomputed forms reproduce
+        padding_raw bit-for-bit:
+
+        * ``raw_bank[i]``: the plain zero-padded waveform — a crop at frame
+          offset p>0 is [zeros(fftl//2), x[p*hop:]][:target], i.e. a constant
+          zero prefix plus one contiguous gather.
+        * ``raw_p0[i]``: the full p==0 / short-utterance output (with its
+          reflect padding), taken verbatim from padding_raw.
+        """
+        ds = self.ds
+        if "raw" not in ds.features:
+            self.raw_bank = None
+            return
+        fftl = ds.conf["feature"]["fftl"]
+        hop = ds.conf["feature"]["hop_size"]
+        L = self.L
+        n = len(ds)
+        target = fftl + hop * L - 1
+        gather_len = target - fftl // 2
+        max_off = int(np.maximum(self.flens - L, 0).max())
+        self.raw_bank = np.zeros((n, max_off * hop + gather_len), np.float32)
+        self.raw_p0 = np.zeros((n, target), np.float32)
+        for i, r in enumerate(raws):
+            x = np.asarray(r["raw"]).squeeze().astype(np.float32)
+            m = min(len(x), self.raw_bank.shape[1])
+            self.raw_bank[i, :m] = x[:m]
+            dlen = L - self.flens[i]
+            self.raw_p0[i] = padding_raw(x, dlen, L, fftl, hop, p=0)
+        self._raw_geom = (fftl, hop, target, gather_len)
+
+    def _assemble_raw(self, idxs, p, flen):
+        fftl, hop, target, gather_len = self._raw_geom
+        B = len(idxs)
+        t_idx = (p * hop)[:, None] + np.arange(gather_len)[None, :]
+        out = np.concatenate(
+            [np.zeros((B, fftl // 2), np.float32),
+             self.raw_bank[idxs[:, None], t_idx]], axis=1,
+        )
+        # padding_raw branch: short utterances or offset 0 use the
+        # precomputed reflect-padded form
+        use_p0 = (flen <= self.L) | (p == 0)
+        out[use_p0] = self.raw_p0[idxs[use_p0]]
+        return out
 
     def __len__(self):
         return len(self.ds) // self.batch_size
@@ -305,6 +355,8 @@ class VectorizedLoader:
         rows = idxs[:, None]
         for k in ds.features - {"raw"}:
             b[k] = self.bank[k][rows, t_idx]
+        if self.raw_bank is not None:
+            b["raw"] = self._assemble_raw(idxs, p, flen)
         lcf0_raw = self.bank["lcf0_raw"][rows, t_idx]
         b["cv_lcf0"] = (
             (lcf0_raw - self.f0_mean[org][:, None, None])
@@ -512,11 +564,7 @@ def get_dataloaders(conf, scp, scaler, flag="train", seed=0,
         if not train_sampling:
             # deterministic full-utterance phases: disjoint per-host slices
             ds = shard_dataset_for_process(ds, pi, pc)
-        if (
-            train_sampling
-            and not conf.get("use_raw")
-            and conf.get("cache_dataset", True)
-        ):
+        if train_sampling and conf.get("cache_dataset", True):
             loaders[phase] = VectorizedLoader(
                 ds, batch_size=local_batch_size, seed=seed + pi * 7919
             )

@@ -215,3 +215,70 @@ def test_sinc_conv_training_step(tmp_path):
     # sinc filter params received gradient
     f1 = jax.device_get(state["params"]["G"])["preprocess"]["SincConv_0"]["f"]
     assert not np.allclose(f0, f1)
+
+
+def test_vectorized_loader_raw_equivalence(tmp_path):
+    """The bank-gather loader's raw crops reproduce padding_raw bit-for-bit
+    for both branches (p>0 offset crop; p==0 / short-utterance reflect pad).
+    Round-1 gap: use_raw fell back to the slow per-item loader."""
+    from crank_tpu.train.dataset import VectorizedLoader, padding_raw
+
+    fftl, hop, dim = 256, 64, 16
+    conf = make_conf(use_raw=True)
+    rng = np.random.default_rng(3)
+    scaler = {"mlfb": StandardScaler(), "lcf0": StandardScaler()}
+    for s in SPKRS:
+        scaler[s] = {"lcf0": StandardScaler()}
+    feats = {}
+    raws = {}
+    # mix of long (crop) and short (pad) utterances
+    lengths = [BATCH_LEN * 3, BATCH_LEN // 2, BATCH_LEN * 2, 20, 70, 90]
+    for spkr in SPKRS:
+        for i in range(2):
+            T = lengths[(SPKRS.index(spkr) * 2 + i) % len(lengths)]
+            raw = (0.1 * rng.standard_normal(T * hop + fftl)).astype(
+                np.float32)
+            mlfb = rng.standard_normal((T, dim)).astype(np.float32)
+            lcf0 = (5.0 + 0.1 * rng.standard_normal((T, 1))).astype(
+                np.float32)
+            uv = np.ones((T, 1), np.float32)
+            h5f = tmp_path / spkr / f"{spkr}_{i}.h5"
+            write_features(h5f, {"raw": raw, "mlfb": mlfb, "lcf0": lcf0,
+                                 "uv": uv})
+            scaler["mlfb"].partial_fit(mlfb)
+            scaler["lcf0"].partial_fit(lcf0)
+            scaler[spkr]["lcf0"].partial_fit(lcf0)
+            feats[f"{spkr}_{i}"] = str(h5f)
+            raws[f"{spkr}_{i}"] = raw
+    scp = {p: {"feats": feats, "spkrs": SPKRS} for p in
+           ("train", "dev", "eval")}
+    ds = VCDataset(conf, scp, scaler, phase="train", seed=0)
+    loader = VectorizedLoader(ds, batch_size=len(feats), seed=0)
+    batch = next(iter(loader))
+    assert batch["raw"].shape == (len(feats), fftl + hop * BATCH_LEN - 1)
+
+    # verify each row against padding_raw at the loader's chosen offsets
+    flens = loader.flens
+    hfftl = fftl // 2
+    for row in range(batch["raw"].shape[0]):
+        r = batch["raw"][row]
+        i = [k for k, (lbl, _) in enumerate(ds._labels)
+             if lbl == batch["flbl"][row]][0]
+        x = np.asarray(raws[ds._labels[i][0].split("/")[-1]])
+        if flens[i] <= BATCH_LEN:
+            expect = padding_raw(x, BATCH_LEN - flens[i], BATCH_LEN, fftl,
+                                 hop, p=0)
+            np.testing.assert_array_equal(r, expect)
+        else:
+            # offset crop: zero prefix then a contiguous slice of x
+            assert (r[:hfftl] == 0).all()
+            seg = r[hfftl:]
+            # find the offset by matching the first samples
+            n = len(x)
+            cand = [p for p in range(flens[i] - BATCH_LEN)
+                    if np.array_equal(seg[:32], x[p * hop: p * hop + 32])]
+            assert cand, "crop does not align to any hop offset"
+            p = cand[0]
+            expect = padding_raw(x, BATCH_LEN - flens[i], BATCH_LEN, fftl,
+                                 hop, p=p)
+            np.testing.assert_array_equal(r, expect)
