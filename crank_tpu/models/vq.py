@@ -30,9 +30,6 @@ class Quantizer(nn.Module):
     decay: float = 0.99
     eps: float = 1e-5
     ema_flag: bool = False
-    # fused Pallas VQ kernel: single-chip TPU EMA path only (the pure-XLA
-    # formulation is the default — it partitions automatically under a mesh)
-    use_fused_kernel: bool = False
 
     def setup(self):
         def cb_init(key):
@@ -78,25 +75,20 @@ class Quantizer(nn.Module):
         """
         cb = self._get_codebook()
         flat = x.reshape(-1, self.emb_dim)
-        if self.ema_flag and self.use_fused_kernel:
-            # fused Pallas path (TPU, EMA mode: no grad through the lookup);
-            # emits quantized vectors and EMA statistics in one VMEM pass
-            from crank_tpu.ops.vq_pallas import vq_fused
-
-            flat_idx, emb_flat, counts, embed_sum = vq_fused(flat, cb)
-            idx = flat_idx.reshape(x.shape[:2])
-            embed_idx = emb_flat.reshape(x.shape)
-        else:
-            # nearest neighbor: ||x||^2 is constant per row, so argmin over
-            # ||cb||^2 - 2 x.cb equals the full distance argmin; the [N,K]
-            # score matrix and the one-hot projections are MXU matmuls —
-            # measured 4-5x faster on TPU than a gather/scatter formulation.
-            scores = jnp.sum(cb**2, axis=1)[None, :] - 2.0 * flat @ cb.T
-            idx = jnp.argmin(scores, axis=1).reshape(x.shape[:2])
-            onehot = jax.nn.one_hot(idx, self.emb_size, dtype=x.dtype)
-            embed_idx = onehot @ cb
-            counts = jnp.sum(onehot.reshape(-1, self.emb_size), axis=0)
-            embed_sum = jnp.einsum("btd,btk->dk", x, onehot)
+        # nearest neighbor: ||x||^2 is constant per row, so argmin over
+        # ||cb||^2 - 2 x.cb equals the full distance argmin; the [N,K]
+        # score matrix and the one-hot projections are MXU matmuls —
+        # measured 4-5x faster on TPU than a gather/scatter formulation.
+        # (A fused Pallas variant was built and benchmarked in rounds 1-2;
+        # XLA's own fusion never materializes the [N,K] scores in HBM and
+        # beat the hand kernel ~2x at production geometry (22-25us vs
+        # 44us/call, N=25k D=64 K=512, TPU v5e), so it was removed.)
+        scores = jnp.sum(cb**2, axis=1)[None, :] - 2.0 * flat @ cb.T
+        idx = jnp.argmin(scores, axis=1).reshape(x.shape[:2])
+        onehot = jax.nn.one_hot(idx, self.emb_size, dtype=x.dtype)
+        embed_idx = onehot @ cb
+        counts = jnp.sum(onehot.reshape(-1, self.emb_size), axis=0)
+        embed_sum = jnp.einsum("btd,btk->dk", x, onehot)
 
         if train and self.ema_flag and use_ema:
             ema_size = self.decay * self.ema_size.value + (1 - self.decay) * counts

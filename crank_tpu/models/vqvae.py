@@ -62,7 +62,6 @@ class VQVAE2Config:
     sinc_conv_channels: int = 32
     sinc_conv_kernel_size: int = 65
     sinc_conv_pools: Tuple[int, ...] = (4, 4, 4, 2)
-    vq_kernel: str = "xla"  # "xla" | "pallas" (single-chip TPU EMA path)
     # bf16 conv compute (params f32, VQ/losses f32) when "bf16"
     mixed_precision: str = "none"
 
@@ -117,9 +116,6 @@ class VQVAE2Config:
             sinc_conv_channels=conf.get("sinc_conv_channels", 32),
             sinc_conv_kernel_size=conf.get("sinc_conv_kernel_sizes", 65),
             sinc_conv_pools=pools,
-            vq_kernel=os.environ.get(
-                "CRANK_TPU_VQ_KERNEL", conf.get("vq_kernel", "xla")
-            ),
             mixed_precision=os.environ.get(
                 "CRANK_TPU_MIXED_PRECISION",
                 conf.get("mixed_precision", "none"),
@@ -186,7 +182,6 @@ class VQVAE2(nn.Module):
                     emb_dim=c.emb_dim[n],
                     emb_size=c.emb_size[n],
                     ema_flag=c.ema_flag,
-                    use_fused_kernel=(c.vq_kernel == "pallas"),
                     name=f"quantizer_{n}",
                 )
             )
