@@ -185,12 +185,25 @@ class VocoderTrainer:
         self._steps_cache[adv] = fn
         return fn
 
+    def _prefetch(self, dataset, n, depth=2):
+        """Device batches shipped `depth` ahead so H2D overlaps compute
+        (same pattern as the main Trainer loop)."""
+        import collections
+
+        c = self.conf
+        queue = collections.deque()
+        for _ in range(n):
+            wav, mel = dataset.batch(c["batch_size"])
+            queue.append(shard_batch({"wav": wav, "mel": mel}, self.mesh))
+            if len(queue) >= depth:
+                yield queue.popleft()
+        while queue:
+            yield queue.popleft()
+
     def train(self, dataset, n_steps=None):
         c = self.conf
         n_steps = n_steps or c["n_steps"]
-        while self.steps < n_steps:
-            wav, mel = dataset.batch(c["batch_size"])
-            batch = shard_batch({"wav": wav, "mel": mel}, self.mesh)
+        for batch in self._prefetch(dataset, max(0, n_steps - self.steps)):
             self.rng, k = jax.random.split(self.rng)
             adv = self.steps > c["discriminator_train_start_steps"]
             step_fn = self._make_step(adv)
