@@ -26,7 +26,10 @@ import sys
 from pathlib import Path
 
 
-def run_cmd(cmd, log, launcher="", env=None):
+RELAUNCH = 75  # EX_TEMPFAIL: checkpointed at a resource ceiling, relaunch
+
+
+def run_cmd(cmd, log, launcher="", env=None, ok_codes=(0,)):
     log = Path(log)
     log.parent.mkdir(parents=True, exist_ok=True)
     if launcher:
@@ -36,9 +39,10 @@ def run_cmd(cmd, log, launcher="", env=None):
         ret = subprocess.run(
             [str(c) for c in cmd], stdout=fp, stderr=subprocess.STDOUT, env=env
         )
-    if ret.returncode != 0:
+    if ret.returncode not in ok_codes:
         print(open(log).read()[-4000:], file=sys.stderr)
         raise SystemExit(f"stage command failed (see {log})")
+    return ret.returncode
 
 
 def main():
@@ -154,19 +158,33 @@ def main():
             logdir / "extract_statistics.log", L, env,
         )
 
-    def train_cmd(flag, ckpt, log):
-        run_cmd(
+    def train_cmd(flag, ckpt, log, ok_codes=(0,)):
+        return run_cmd(
             py + ["crank_tpu.bin.train", "--flag", flag,
                   "--n_jobs", args.n_jobs, "--conf", conf,
                   "--checkpoint", ckpt, "--scpdir", scpdir,
                   "--featdir", featdir, "--expdir", expdir],
-            log, L, env,
+            log, L, env, ok_codes=ok_codes,
         )
 
     if stage_in(3):
         print("stage 3: train")
-        train_cmd("train", args.resume_checkpoint,
-                  expdir / confname / "train.log")
+        # segmented training: the trainer checkpoints and exits RELAUNCH
+        # when it hits the host-memory ceiling (trainer max_host_rss_gb);
+        # relaunch from the latest checkpoint until it finishes cleanly
+        from crank_tpu.train.checkpoint import find_latest_checkpoint
+
+        ckpt = args.resume_checkpoint
+        for segment in range(1000):
+            log = expdir / confname / (
+                "train.log" if segment == 0 else f"train.seg{segment}.log"
+            )
+            code = train_cmd("train", ckpt, log, ok_codes=(0, RELAUNCH))
+            if code == 0:
+                break
+            latest = find_latest_checkpoint(expdir / confname)
+            print(f"[run] memory-watchdog relaunch from {latest}")
+            ckpt = str(latest)
 
     if stage_in(4):
         print("stage 4: reconstruction")
@@ -203,23 +221,30 @@ def main():
             )
         elif args.voc == "NPWG":  # in-tree neural vocoder
             voc_expdir = expdir / "vocoder"
-            if not list(voc_expdir.glob("checkpoint_*steps.pkl")):
-                # pretrain on natural pairs, then fine-tune on stage-4 dumps
-                run_cmd(
-                    py + ["crank_tpu.bin.vocoder_train", "--conf", conf,
-                          "--scpdir", scpdir, "--featdir", featdir,
-                          "--expdir", voc_expdir],
-                    outdir / "vocoder_train.log", L, env,
-                )
-                recon = expdir / confname / "reconstruction" / n_decode_steps
-                if recon.exists():
-                    run_cmd(
+
+            def voc_train_cmd(log, extra=()):
+                # segmented (memory-watchdog) training: exit RELAUNCH =
+                # checkpointed, run again (the CLI auto-resumes from the
+                # latest checkpoint in the expdir)
+                for segment in range(1000):
+                    seg_log = log if segment == 0 else Path(
+                        f"{log}.seg{segment}")
+                    code = run_cmd(
                         py + ["crank_tpu.bin.vocoder_train", "--conf", conf,
                               "--scpdir", scpdir, "--featdir", featdir,
-                              "--expdir", voc_expdir,
-                              "--decoded_rootdir", recon],
-                        outdir / "vocoder_finetune.log", L, env,
+                              "--expdir", voc_expdir, *extra],
+                        seg_log, L, env, ok_codes=(0, RELAUNCH),
                     )
+                    if code == 0:
+                        return
+
+            if not list(voc_expdir.glob("checkpoint_*steps.pkl")):
+                # pretrain on natural pairs, then fine-tune on stage-4 dumps
+                voc_train_cmd(outdir / "vocoder_train.log")
+                recon = expdir / confname / "reconstruction" / n_decode_steps
+                if recon.exists():
+                    voc_train_cmd(outdir / "vocoder_finetune.log",
+                                  ("--decoded_rootdir", recon))
             run_cmd(
                 py + ["crank_tpu.bin.vocoder_decode", "--conf", conf,
                       "--rootdir", eval_wav, "--outdir", outdir / "wav",

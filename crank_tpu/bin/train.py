@@ -120,6 +120,10 @@ def main():
         n_jobs=args.n_jobs,
     )
     trainer.run(flag=args.flag)
+    if trainer.hit_memory_watchdog:
+        # EX_TEMPFAIL: checkpointed at the host-memory ceiling; the stage
+        # runner relaunches from the checkpoint (segmented training)
+        sys.exit(75)
 
 
 if __name__ == "__main__":

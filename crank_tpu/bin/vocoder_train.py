@@ -65,6 +65,8 @@ def main():
     trainer = VocoderTrainer(voc_conf, args.expdir,
                              resume_state=resume_state)
     trainer.train(dataset, n_steps=args.n_steps)
+    if trainer.hit_memory_watchdog:
+        sys.exit(75)  # EX_TEMPFAIL: checkpointed, caller should relaunch
 
 
 if __name__ == "__main__":

@@ -66,6 +66,7 @@ class Trainer:
         self.steps = int(resume)
         self.resume_steps = int(resume)
         self.finish_train = False
+        self.hit_memory_watchdog = False
 
         self.mesh = mesh or get_mesh()
         self.factory = StepFactory(
@@ -198,6 +199,46 @@ class Trainer:
             self._profiling = False
             logging.info("profiler trace written to %s", pdir)
 
+    def _host_rss_gb(self):
+        try:
+            with open("/proc/self/status") as fp:
+                for line in fp:
+                    if line.startswith("VmRSS"):
+                        return int(line.split()[1]) / 1048576
+        except OSError:
+            pass
+        return 0.0
+
+    def _check_memory_watchdog(self):
+        """Preemption-safe segmented training: when host RSS crosses
+        ``max_host_rss_gb``, checkpoint and stop cleanly; the stage runner
+        relaunches from the checkpoint (exit code 75). Exists because some
+        runtimes (e.g. the tunneled TPU client here) retain host memory per
+        H2D transfer, and long runs would otherwise hit the OOM killer
+        mid-step with no checkpoint."""
+        limit = self.conf.get("max_host_rss_gb", 64)
+        if not limit:
+            return False
+        rss = self._host_rss_gb()
+        if jax.process_count() > 1:
+            # the stop decision must be collective or the cluster deadlocks
+            # in the next step's all-reduce: act on the max across hosts
+            from jax.experimental import multihost_utils
+
+            rss = float(
+                np.max(multihost_utils.process_allgather(np.float32(rss)))
+            )
+        if rss > limit:
+            logging.warning(
+                "host RSS above %.0f GB at step %d: checkpointing and "
+                "requesting relaunch", limit, self.steps,
+            )
+            self.save_model()
+            self.hit_memory_watchdog = True
+            self.finish_train = True
+            return True
+        return False
+
     def _tr_epoch(self):
         for dev_batch in self._prefetch(self.dataloaders["train"]):
             self._maybe_profile()
@@ -207,6 +248,8 @@ class Trainer:
                 loss = fetch_replicated(loss)
                 self._print_loss(loss, phase="train")
                 self._flush_writer(loss, phase="train")
+                if self._check_memory_watchdog():
+                    break
             self._dev_step()
             if (
                 self.resume_steps != self.steps

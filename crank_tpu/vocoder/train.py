@@ -92,6 +92,7 @@ class VocoderTrainer:
     def __init__(self, conf, expdir, mesh=None, seed=1234, resume_state=None):
         self.conf = {**DEFAULTS, **conf}
         self.expdir = Path(expdir)
+        self.hit_memory_watchdog = False
         self.mesh = mesh or get_mesh()
         c = self.conf
         self.g = PWGVocoder(
@@ -215,10 +216,37 @@ class VocoderTrainer:
                     "vocoder step %d: %s", self.steps,
                     {k: round(float(v), 4) for k, v in logs.items()},
                 )
+                if self._memory_watchdog():
+                    self.steps += 1
+                    break
             self.steps += 1
             if self.steps % c["n_steps_save_model"] == 0:
                 self.save()
         self.save()
+
+    def _memory_watchdog(self):
+        """Checkpoint-and-relaunch when host RSS crosses the ceiling (same
+        segmented-training mechanism as the main Trainer; some runtimes
+        retain host memory per H2D transfer)."""
+        limit = self.conf.get("max_host_rss_gb", 64)
+        if not limit:
+            return False
+        try:
+            with open("/proc/self/status") as fp:
+                rss = next(
+                    int(ln.split()[1]) / 1048576
+                    for ln in fp if ln.startswith("VmRSS")
+                )
+        except (OSError, StopIteration):
+            return False
+        if rss > limit:
+            logging.warning(
+                "host RSS above %.0f GB at vocoder step %d: checkpointing "
+                "and requesting relaunch", limit, self.steps,
+            )
+            self.hit_memory_watchdog = True
+            return True
+        return False
 
     def save(self):
         save_checkpoint(self.expdir, {

@@ -329,3 +329,25 @@ def test_trainer_eval(tmp_path, corpus):
     with h5py.File(h5s[0], "r") as fp:
         for k in ("feats", "normed_feat", "f0", "lcf0", "normed_lcf0", "uv"):
             assert k in fp
+
+
+def test_memory_watchdog_checkpoints_and_stops(tmp_path, corpus):
+    """Segmented training: when host RSS crosses max_host_rss_gb, the trainer
+    checkpoints, stops, and flags for relaunch (exit 75 in the CLI) — the
+    defense against runtimes that retain host memory per H2D transfer."""
+    conf = make_conf(n_steps=50, dev_steps=1000, n_steps_save_model=1000,
+                     n_steps_print_loss=1, max_host_rss_gb=0.001)
+    models = build_models(conf, spkr_size=len(SPKRS))
+    params, ema = init_models(models, conf, len(SPKRS),
+                              jax.random.PRNGKey(0), B=2, T=BATCH_LEN)
+    opts = make_optimizers(conf, list(models.keys()))
+    state = {"params": params, "ema": ema,
+             "opt": {m: opts[m].init(params[m]) for m in models}}
+    loaders = get_dataloaders(conf, corpus["scp"], corpus["scaler"],
+                              flag="train")
+    tr = Trainer(models, opts, conf, loaders, corpus["scaler"],
+                 expdir=tmp_path, init_state=state, mesh=get_mesh())
+    tr.run("train")
+    assert tr.hit_memory_watchdog
+    assert tr.steps < conf["n_steps"]  # stopped early
+    assert find_latest_checkpoint(tmp_path) is not None
