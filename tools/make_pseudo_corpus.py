@@ -16,6 +16,7 @@ Usage:
 """
 
 import argparse
+import sys
 from pathlib import Path
 
 import numpy as np
@@ -136,7 +137,11 @@ def main():
     parser.add_argument("--seed", type=int, default=17)
     args = parser.parse_args()
 
-    from crank_tpu.utils.audio_io import write_wav
+    try:
+        from crank_tpu.utils.audio_io import write_wav
+    except ModuleNotFoundError:  # run from a checkout without install
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+        from crank_tpu.utils.audio_io import write_wav
 
     for s_idx, (name, (f0, sd, vtl, breath)) in enumerate(SPEAKERS.items()):
         outdir = args.outdir / name
