@@ -1,0 +1,273 @@
+"""Streaming (low-latency) conversion CLI — simulated real-time over a wav.
+
+Beyond-reference capability (the reference converts whole utterances
+offline, crank/net/trainer/basetrainer.py:322-344).  Drives the causal
+model chunk-by-chunk through crank_tpu.convert.StreamingConverter with a
+causal host frontend:
+
+* mel frames computed incrementally with the offline center/reflect
+  convention — a frame is emitted once ``t*hop + fftl/2`` samples exist,
+  so the frontend lookahead (fftl/2 samples) is part of the reported
+  algorithmic latency;
+* F0 tracked per chunk by the native analyzer over a trailing context
+  window (strictly causal — no future audio), with zero-order-hold
+  continuous F0 across unvoiced gaps (convert/streaming.py);
+* optional per-chunk Griffin-Lim synthesis with trailing mel context and
+  cross-faded overlap-add (a documented quality-vs-latency tradeoff; use
+  the offline stage-6 synthesis for best quality).
+
+Prints one JSON line with latency percentiles and the real-time factor.
+
+Usage:
+  python -m crank_tpu.bin.convert_stream --conf conf/mlfb_vqvae.yml \
+      --checkpoint exp/.../checkpoint_200000steps.pkl \
+      --scpdir data/scp --featdir data/feature \
+      --wav in.wav --org_spkr SF1 --cv_spkr TM1 --out out.wav
+"""
+
+import argparse
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def frame_mlfb(buf, t0, t1, fc, mel_basis, win):
+    """Frames [t0, t1) of the center/reflect mel spectrogram of ``buf``.
+
+    Reproduces dsp/spectrum.logmelfilterbank exactly for any frame whose
+    centered window fits in the buffered past + fftl/2 lookahead (start-of-
+    stream reflect padding uses the real buffered samples).
+    """
+    fftl, hop = fc["fftl"], fc["hop_size"]
+    half = fftl // 2
+    frames = []
+    for t in range(t0, t1):
+        c = t * hop
+        lo, hi = c - half, c + half
+        seg = buf[max(0, lo) : hi]
+        if lo < 0:  # start-of-stream reflect padding (offline parity)
+            seg = np.concatenate([buf[1 : 1 - lo][::-1], seg])
+        frames.append(seg)
+    spc = np.abs(np.fft.rfft(np.stack(frames) * win[None, :], axis=-1))
+    return np.log10(np.maximum(1e-10, spc @ mel_basis.T)).astype(np.float32)
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--conf", type=Path, required=True)
+    parser.add_argument("--checkpoint", type=Path, required=True)
+    parser.add_argument("--scpdir", type=Path, required=True)
+    parser.add_argument("--featdir", type=Path, required=True)
+    parser.add_argument("--wav", type=Path, required=True)
+    parser.add_argument("--org_spkr", type=str, required=True)
+    parser.add_argument("--cv_spkr", type=str, required=True)
+    parser.add_argument("--spkr_yml", type=Path, default=None,
+                        help="per-speaker f0 ranges for the F0 tracker")
+    parser.add_argument("--out", type=Path, default=None,
+                        help="output wav (requires --synth gl)")
+    parser.add_argument("--synth", choices=["none", "gl"], default="gl")
+    parser.add_argument("--chunk_frames", type=int, default=32)
+    parser.add_argument("--f0_ctx_ms", type=float, default=400.0)
+    parser.add_argument("--gl_ctx_frames", type=int, default=32)
+    parser.add_argument("--gl_iters", type=int, default=30)
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.INFO, stream=sys.stdout)
+
+    import yaml
+
+    from crank_tpu.convert.streaming import (
+        StreamingConverter,
+        causal_hold_continuous_f0,
+    )
+    from crank_tpu.dsp.mel import mel_filterbank, mel_pseudo_inverse
+    from crank_tpu.dsp.spectrum import stft_np
+    from crank_tpu.features.scaler import load_scaler
+    from crank_tpu.native import world
+    from crank_tpu.train.checkpoint import load_checkpoint
+    from crank_tpu.utils.audio_io import read_wav, write_wav
+    from crank_tpu.utils.config import load_yaml
+    from crank_tpu.utils.scp import open_scpdir
+
+    import os
+
+    default_yml = None
+    if not (os.environ.get("CRANK_TPU_DEFAULT_YAML")
+            or os.environ.get("CRANK_DEFAULT_YAML")):
+        cand = args.conf.parent / "default.yml"
+        default_yml = cand if cand.exists() else None
+    conf = load_yaml(args.conf, default_ymlf=default_yml)
+    fc = conf["feature"]
+    fs, hop, fftl = fc["fs"], fc["hop_size"], fc["fftl"]
+    scp = open_scpdir(args.scpdir / "train")
+    spkrs = {s: i for i, s in enumerate(scp["spkrs"])}
+    scaler = load_scaler(args.featdir / fc["label"] / "scaler.pkl")
+    ckpt = load_checkpoint(args.checkpoint)
+
+    minf0, maxf0 = 40.0, 700.0
+    if args.spkr_yml is not None:
+        with open(args.spkr_yml) as fp:
+            spkr_conf = yaml.safe_load(fp)
+        if args.org_spkr in spkr_conf:
+            minf0 = float(spkr_conf[args.org_spkr].get("minf0", minf0))
+            maxf0 = float(spkr_conf[args.org_spkr].get("maxf0", maxf0))
+
+    conv = StreamingConverter(
+        conf, len(spkrs), ckpt["params"]["G"], ckpt.get("ema"), scaler,
+        spkrs, args.org_spkr, args.cv_spkr, chunk_frames=args.chunk_frames,
+    )
+
+    x, fs_in = read_wav(args.wav)
+    if fs_in != fs:
+        raise SystemExit(f"wav fs {fs_in} != conf fs {fs}")
+    x = np.asarray(x, np.float64)
+
+    mel_basis = mel_filterbank(fs, fftl, fc["mlfb_dim"], fc["fmin"],
+                               fc["fmax"])
+    win = np.hanning(fftl + 1)[:-1]  # periodic hann (librosa semantics)
+    inv_basis = mel_pseudo_inverse(fs, fftl, fc["mlfb_dim"], fc["fmin"],
+                                   fc["fmax"])
+
+    chunk = args.chunk_frames
+    half = fftl // 2
+    f0_ctx = int(args.f0_ctx_ms / 1000.0 * fs) // hop * hop
+
+    # warm up the jitted chunk step (compile outside the timed loop)
+    conv.push(
+        np.zeros((chunk, fc["mlfb_dim"]), np.float32),
+        np.full((chunk, 1), 5.0, np.float32),
+        np.zeros((chunk, 1), np.float32),
+    )
+    conv.reset()
+
+    org_lcf0_mean = float(np.asarray(scaler[args.org_spkr]["lcf0"].mean_)[0])
+    held_f0 = float(np.exp(org_lcf0_mean))
+    mel_ctx = None  # trailing converted-mel context for per-chunk GL
+    prev_tail = None  # last synthesized samples for the cross-fade
+    out_wavs, out_mels, latencies = [], [], []
+    emitted = 0  # frames fed to the converter so far
+
+    # stream the audio in chunk-sized hops; each iteration simulates the
+    # arrival of chunk*hop new samples
+    n_total = (len(x) - half) // hop  # frames whose lookahead is available
+    for t0 in range(0, n_total - chunk + 1, chunk):
+        t_arrive = time.perf_counter()
+        t1 = t0 + chunk
+        buf = x[: t1 * hop + half]
+
+        mlfb = frame_mlfb(buf, t0, t1, fc, mel_basis, win)
+
+        # causal F0: analyze the trailing context ending at the newest sample
+        s0 = max(0, t1 * hop + half - f0_ctx - fftl)
+        s0 = (s0 // hop) * hop
+        f0_win = world.f0_analyze(
+            np.ascontiguousarray(buf[s0:]), fs,
+            shiftms=fc["shiftms"], minf0=minf0, maxf0=maxf0,
+        )
+        off = t0 - s0 // hop
+        f0_chunk = np.zeros(chunk)
+        avail = f0_win[off : off + chunk] if off >= 0 else f0_win[:0]
+        f0_chunk[: len(avail)] = avail
+        uv, cont_f0, held_f0 = causal_hold_continuous_f0(
+            f0_chunk, prev_value=held_f0
+        )
+        lcf0 = np.log(np.maximum(cont_f0, 1e-10)).astype(np.float32)
+
+        out = conv.push(mlfb, lcf0[:, None], uv[:, None])
+        cv_mel = out["mlfb"][0]
+        out_mels.append(cv_mel)
+
+        if args.synth == "gl":
+            ctx = (
+                cv_mel
+                if mel_ctx is None
+                else np.concatenate([mel_ctx, cv_mel], axis=0)
+            )
+            n_ctx = ctx.shape[0] - chunk
+            spc = np.power(10.0, ctx) @ inv_basis.T
+            wav_seg = _gl_numpy(spc, fftl, hop, win, args.gl_iters)
+            seg = wav_seg[n_ctx * hop : (n_ctx + chunk) * hop].copy()
+            if prev_tail is not None:  # one-hop cross-fade at the boundary
+                ramp = np.linspace(0.0, 1.0, hop)
+                seg[:hop] = (1 - ramp) * prev_tail + ramp * seg[:hop]
+            prev_tail = wav_seg[(n_ctx + chunk) * hop :][:hop]
+            prev_tail = (
+                None if len(prev_tail) < hop else prev_tail
+            )
+            out_wavs.append(seg)
+            mel_ctx = ctx[-args.gl_ctx_frames :]
+
+        latencies.append(time.perf_counter() - t_arrive)
+        emitted = t1
+
+    lat = np.asarray(latencies)
+    chunk_s = chunk * hop / fs
+    algo_latency_s = chunk_s + half / fs
+    result = {
+        "metric": "streaming_conversion",
+        "frames": int(emitted),
+        "chunk_frames": chunk,
+        "chunk_ms": round(chunk_s * 1000, 2),
+        "algorithmic_latency_ms": round(algo_latency_s * 1000, 2),
+        "compute_latency_ms_mean": round(float(lat.mean()) * 1000, 2),
+        "compute_latency_ms_p95": round(
+            float(np.percentile(lat, 95)) * 1000, 2
+        ),
+        "rtf": round(float(lat.sum()) / (emitted * hop / fs), 4),
+        "real_time_capable": bool(np.percentile(lat, 95) < chunk_s),
+    }
+    if args.synth == "gl" and args.out is not None and out_wavs:
+        wav = np.concatenate(out_wavs)
+        peak = np.abs(wav).max()
+        if peak > 1.0:
+            wav = wav / peak * 0.95
+        args.out.parent.mkdir(parents=True, exist_ok=True)
+        write_wav(args.out, wav, fs)
+        result["out"] = str(args.out)
+    if out_mels:
+        result["mel_frames_out"] = int(sum(m.shape[0] for m in out_mels))
+    print(json.dumps(result))
+
+
+def _gl_numpy(spc, n_fft, hop, win, n_iters):
+    """Small host-side Griffin-Lim for per-chunk synthesis (numpy; the
+    heavy offline path is the batched jax one in dsp/gl.py)."""
+    rng = np.random.default_rng(0)
+    angles = np.exp(2j * np.pi * rng.random(spc.shape))
+    ola_win = _ola_norm(win, spc.shape[0], hop, n_fft)
+
+    def istft(stft_m):
+        frames = np.fft.irfft(stft_m, n=n_fft, axis=-1) * win[None, :]
+        y = np.zeros((spc.shape[0] - 1) * hop + n_fft)
+        for t in range(spc.shape[0]):
+            y[t * hop : t * hop + n_fft] += frames[t]
+        return y / ola_win
+
+    def stft(y):
+        idx = (
+            np.arange(n_fft)[None, :]
+            + hop * np.arange(spc.shape[0])[:, None]
+        )
+        return np.fft.rfft(y[idx] * win[None, :], axis=-1)
+
+    for _ in range(n_iters):
+        y = istft(spc * angles)
+        s = stft(y)
+        angles = np.exp(1j * np.angle(s))
+    return istft(spc * angles)
+
+
+def _ola_norm(win, n_frames, hop, n_fft):
+    acc = np.zeros((n_frames - 1) * hop + n_fft)
+    w2 = win**2
+    for t in range(n_frames):
+        acc[t * hop : t * hop + n_fft] += w2
+    return np.maximum(acc, 1e-8)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,229 @@
+"""Low-latency streaming voice conversion (beyond-reference capability).
+
+The reference converts whole utterances offline (crank/net/trainer/
+basetrainer.py:322-344).  This module adds a chunk-synchronous converter for
+the *causal* model variant (``causal: true``): every causal convolution
+carries its left context in a flax ``"cache"`` variable collection
+(models/layers.py Conv1d), so feeding fixed-size chunks reproduces the
+offline causal forward exactly — one jit-compiled chunk step, constant
+memory, algorithmic latency = one chunk.
+
+Feature-level contract: mel-filterbank frames in (raw, unnormalized), the
+converted target-speaker mel frames + converted F0 out.  Raw-waveform
+frontends (use_raw / use_sinc_conv) are not streamable here; frame the audio
+host-side (see bin/convert_stream.py for the end-to-end simulation).
+"""
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from crank_tpu.dsp.f0_utils import convert_f0
+from crank_tpu.models.vqvae import VQVAE2, VQVAE2Config
+
+
+class StreamingConverter:
+    """Chunk-synchronous VC for a trained causal VQVAE2.
+
+    Parameters
+    ----------
+    conf : dict
+        Training YAML config (must have ``causal: true``).
+    spkr_size : int
+        Number of speakers the checkpoint was trained with.
+    params : pytree
+        The generator's parameter tree (``checkpoint["params"]["G"]``).
+    ema : pytree or None
+        The generator's EMA collection (``checkpoint["ema"]`` — pass the
+        quantizer codebooks; None when ``ema_flag: false``).
+    scaler : dict
+        Feature scalers from extract_statistics (global "mlfb"/"lcf0" +
+        per-speaker "lcf0").
+    spkrs : dict
+        Speaker name -> index mapping (training order).
+    org_spkr, cv_spkr : str
+        Source and target speaker names.
+    chunk_frames : int
+        Frames per chunk (fixed; one XLA compilation).
+    """
+
+    def __init__(self, conf, spkr_size, params, ema, scaler, spkrs,
+                 org_spkr, cv_spkr, chunk_frames=32, batch=1):
+        if not conf.get("causal"):
+            raise ValueError(
+                "streaming conversion requires a causal model (causal: true)"
+            )
+        if conf.get("use_raw") or conf.get("use_sinc_conv"):
+            raise NotImplementedError(
+                "streaming operates on mel frames; frame raw audio host-side"
+            )
+        self.conf = conf
+        self.scaler = scaler
+        self.spkrs = spkrs
+        self.org_spkr = org_spkr
+        self.cv_spkr = cv_spkr
+        self.chunk_frames = int(chunk_frames)
+        self.batch = int(batch)
+
+        cfg = dataclasses.replace(
+            VQVAE2Config.from_conf(conf, spkr_size, scaler), streaming=True
+        )
+        self.model = VQVAE2(cfg)
+        self._ema = ema
+
+        B, T, D = self.batch, self.chunk_frames, conf["input_size"]
+        x0 = jnp.zeros((B, T, D), jnp.float32)
+        enc_h0, dec_h0, spkrvec0 = self._condition(
+            np.zeros((B, T, 1), np.float32), np.zeros((B, T, 1), np.float32)
+        )
+        variables = self.model.init(
+            jax.random.PRNGKey(0), x0, enc_h0, dec_h0, spkrvec0, train=False
+        )
+        # init's forward pass already advanced the buffers — a fresh stream
+        # starts from zeros (matching offline causal zero-padding)
+        self._cache0 = jax.tree_util.tree_map(
+            jnp.zeros_like, variables["cache"]
+        )
+        self.cache = self._cache0
+        self._params = params
+
+        model = self.model
+        has_ema = ema is not None
+
+        @jax.jit
+        def _step(params, ema, cache, x, enc_h, dec_h, spkrvec):
+            v = {"params": params, "cache": cache}
+            if has_ema:
+                v["ema"] = ema
+            out, newv = model.apply(
+                v, x, enc_h, dec_h, spkrvec, train=False, mutable=["cache"]
+            )
+            return out["decoded"], newv["cache"]
+
+        self._step = _step
+
+    # ------------------------------------------------------------------ #
+
+    def reset(self):
+        """Clear all conv-state caches (start of a new stream)."""
+        self.cache = self._cache0
+
+    def _condition(self, lcf0_raw, uv):
+        """Build (enc_h, dec_h, spkrvec) from raw log-F0 + voicing.
+
+        Matches the offline conversion path (train/trainer.py:325-347):
+        encoder sees the *source* normalized lcf0; the decoder sees the
+        statistics-transformed target lcf0, normalized by the global scaler.
+        """
+        conf, scaler = self.conf, self.scaler
+        B, T = lcf0_raw.shape[:2]
+        lcf0_n = np.empty_like(lcf0_raw)
+        cv_lcf0_n = np.empty_like(lcf0_raw)
+        for b in range(B):
+            lcf0_n[b] = scaler["lcf0"].transform(lcf0_raw[b])
+            cv_lcf0_n[b] = scaler["lcf0"].transform(
+                convert_f0(scaler, lcf0_raw[b], self.org_spkr, self.cv_spkr)
+            )
+        uv = np.asarray(uv, np.float32)
+        enc_h = (
+            np.concatenate([lcf0_n, uv], axis=-1).astype(np.float32)
+            if conf["encoder_f0"]
+            else None
+        )
+        f0_cond = (
+            np.concatenate([cv_lcf0_n, uv], axis=-1).astype(np.float32)
+            if conf["decoder_f0"]
+            else None
+        )
+        cv_idx = self.spkrs[self.cv_spkr]
+        if conf["use_spkr_embedding"]:
+            spkrvec = np.full((B, T), cv_idx, np.int32)
+            dec_h = f0_cond
+        else:
+            spkrvec = None
+            onehot = np.zeros((B, T, len(self.spkrs)), np.float32)
+            onehot[..., cv_idx] = 1.0
+            dec_h = (
+                onehot
+                if f0_cond is None
+                else np.concatenate([f0_cond, onehot], axis=-1)
+            )
+        return enc_h, dec_h, spkrvec
+
+    def push(
+        self,
+        mlfb: np.ndarray,
+        lcf0_raw: np.ndarray,
+        uv: np.ndarray,
+    ) -> Dict[str, np.ndarray]:
+        """Convert one chunk.
+
+        Parameters: raw (unnormalized) mel frames ``[T, D]`` or ``[B, T, D]``
+        with ``T == chunk_frames``, raw-domain log continuous F0 and voicing
+        ``[.., T, 1]`` (or ``[.., T]``).
+
+        Returns dict with ``mlfb`` (converted, de-normalized target-speaker
+        mel frames) and ``f0`` (statistics-converted F0, 0 where unvoiced),
+        frame-synchronous with the input chunk.
+        """
+        mlfb = np.asarray(mlfb, np.float32)
+        if mlfb.ndim == 2:
+            mlfb = mlfb[None]
+        lcf0_raw = np.asarray(lcf0_raw, np.float32).reshape(
+            mlfb.shape[0], mlfb.shape[1], 1
+        )
+        uv = np.asarray(uv, np.float32).reshape(lcf0_raw.shape)
+        if mlfb.shape[1] != self.chunk_frames:
+            raise ValueError(
+                f"chunk must be exactly {self.chunk_frames} frames "
+                f"(got {mlfb.shape[1]}); pad the final chunk"
+            )
+        x = np.stack(
+            [self.scaler["mlfb"].transform(m) for m in mlfb]
+        ).astype(np.float32)
+        enc_h, dec_h, spkrvec = self._condition(lcf0_raw, uv)
+        decoded, self.cache = self._step(
+            self._params, self._ema, self.cache, x, enc_h, dec_h, spkrvec
+        )
+        decoded = np.asarray(decoded)
+        out_mlfb = np.stack(
+            [self.scaler["mlfb"].inverse_transform(d) for d in decoded]
+        )
+        cv_lcf0 = np.stack(
+            [
+                convert_f0(self.scaler, lcf0_raw[b], self.org_spkr,
+                           self.cv_spkr)
+                for b in range(lcf0_raw.shape[0])
+            ]
+        )
+        f0 = np.exp(cv_lcf0) * uv
+        return {"mlfb": out_mlfb, "f0": f0, "uv": uv}
+
+
+def causal_hold_continuous_f0(
+    f0: np.ndarray, prev_value: Optional[float] = None
+):
+    """Causal continuous-F0: zero-order hold through unvoiced regions.
+
+    The offline pipeline interpolates *through* unvoiced gaps using the next
+    voiced frame (dsp/f0_utils.convert_continuous_f0) — acausal.  Streaming
+    holds the last voiced value instead (and carries it across chunks via
+    ``prev_value``).  Returns (uv, cont_f0, last_value).
+    """
+    f0 = np.asarray(f0, np.float64).copy()
+    uv = np.float32(f0 != 0)
+    last = prev_value
+    for i in range(len(f0)):
+        if f0[i] > 0:
+            last = f0[i]
+        elif last is not None:
+            f0[i] = last
+    if last is not None and np.any(f0 == 0):
+        # leading unvoiced frames of the whole stream: backfill with the
+        # first voiced value seen (matches offline start_f0 handling)
+        first = f0[f0 != 0][0] if np.any(f0 != 0) else 0.0
+        f0[f0 == 0] = first
+    return uv, f0, last

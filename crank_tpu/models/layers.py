@@ -11,6 +11,13 @@ class Conv1d(nn.Module):
 
     ``causal=True`` left-pads by the full receptive extent (reference parity:
     PWG's use_causal_conv); otherwise symmetric 'same' padding is used.
+
+    ``streaming=True`` (causal only) replaces the zero left-pad with a
+    per-layer ring buffer in the mutable ``"cache"`` variable collection:
+    each call consumes a chunk ``[B, T_chunk, C]``, prepends the buffered
+    last ``(kernel_size-1)*dilation`` input frames, and updates the buffer —
+    chunked inference is then bit-identical to one offline causal pass.
+    The parameter tree is unchanged, so trained checkpoints load directly.
     """
 
     features: int
@@ -19,12 +26,28 @@ class Conv1d(nn.Module):
     use_bias: bool = True
     causal: bool = False
     weight_norm: bool = True
+    streaming: bool = False
     dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         span = (self.kernel_size - 1) * self.dilation
-        padding = [(span, 0)] if self.causal else [(span // 2, span - span // 2)]
+        if self.causal and self.streaming:
+            if span > 0:
+                buf = self.variable(
+                    "cache",
+                    "buf",
+                    lambda: jnp.zeros(
+                        (x.shape[0], span, x.shape[-1]), x.dtype
+                    ),
+                )
+                x = jnp.concatenate([buf.value.astype(x.dtype), x], axis=1)
+                buf.value = x[:, x.shape[1] - span:]
+            padding = "VALID"
+        elif self.causal:
+            padding = [(span, 0)]
+        else:
+            padding = [(span // 2, span - span // 2)]
         conv = nn.Conv(
             features=self.features,
             kernel_size=(self.kernel_size,),
@@ -55,6 +78,7 @@ class ResidualBlock(nn.Module):
     causal: bool = False
     dropout: float = 0.0
     weight_norm: bool = True
+    streaming: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -73,6 +97,7 @@ class ResidualBlock(nn.Module):
             dilation=self.dilation,
             causal=self.causal,
             weight_norm=self.weight_norm,
+            streaming=self.streaming,
             dtype=self.dtype,
         )(x)
         xa, xb = jnp.split(x, 2, axis=-1)

@@ -64,6 +64,11 @@ class VQVAE2Config:
     sinc_conv_pools: Tuple[int, ...] = (4, 4, 4, 2)
     # bf16 conv compute (params f32, VQ/losses f32) when "bf16"
     mixed_precision: str = "none"
+    # chunked low-latency inference (causal models only): every causal conv
+    # carries its left context in the mutable "cache" collection, so feeding
+    # chunks reproduces the offline causal forward exactly.  Parameter tree
+    # is identical to the non-streaming model (checkpoints load directly).
+    streaming: bool = False
 
     @classmethod
     def from_conf(cls, conf: Dict[str, Any], spkr_size: int, scaler=None):
@@ -142,6 +147,8 @@ class VQVAE2(nn.Module):
 
     def setup(self):
         c = self.cfg
+        if c.streaming and not c.causal:
+            raise ValueError("streaming inference requires causal=True")
         dtype = jnp.bfloat16 if c.mixed_precision == "bf16" else None
         encs, decs, qts = [], [], []
         for n in range(c.n_vq_stacks):
@@ -159,6 +166,7 @@ class VQVAE2(nn.Module):
                     gate_channels=c.gate_channels,
                     skip_channels=c.skip_channels,
                     causal=c.causal,
+                    streaming=c.streaming,
                     dtype=dtype,
                     name=f"encoder_{n}",
                 )
@@ -173,6 +181,7 @@ class VQVAE2(nn.Module):
                     gate_channels=c.gate_channels,
                     skip_channels=c.skip_channels,
                     causal=c.causal,
+                    streaming=c.streaming,
                     dtype=dtype,
                     name=f"decoder_{n}",
                 )

@@ -35,6 +35,7 @@ class WaveNetBackbone(nn.Module):
     causal: bool = False
     dropout: float = 0.0
     weight_norm: bool = True
+    streaming: bool = False  # chunked causal inference with conv-state cache
     dtype: Optional[jnp.dtype] = None  # bf16 compute on the MXU when set
 
     @property
@@ -66,6 +67,7 @@ class WaveNetBackbone(nn.Module):
                 causal=self.causal,
                 dropout=self.dropout,
                 weight_norm=self.weight_norm,
+                streaming=self.streaming,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(x, c, deterministic=deterministic)
