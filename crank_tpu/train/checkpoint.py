@@ -4,21 +4,53 @@ Same ``checkpoint_{N}steps.pkl`` naming and auto-latest selection as the
 reference (crank/net/trainer/basetrainer.py:131-140, crank/bin/train.py:
 186-192), improved per SURVEY.md §5: optimizer state, VQ EMA buffers and the
 RNG key are saved alongside the parameters so resume is exact.
+
+Durability improvements over the reference's bare ``torch.save``:
+
+* **atomic**: serialized to ``<name>.tmp`` then ``os.replace``d into place,
+  so a crash/OOM-kill mid-write can never leave a truncated "latest"
+  checkpoint (the memory-watchdog relaunch depends on this);
+* **async** (``async_write=True``): device->host fetch happens in the
+  caller (cheap; params are ~MBs), but pickling + disk I/O run on a single
+  background writer thread so the train loop resumes immediately.  Call
+  :func:`wait_pending` before process exit/relaunch.
 """
 
+import os
 import pickle
 import re
+import threading
 from pathlib import Path
 
 import jax
 import numpy as np
+
+_writer_lock = threading.Lock()
+_pending: list = []  # at most one in-flight writer thread
 
 
 def _to_numpy(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint(expdir, state):
+def _write_atomic(path, payload):
+    tmp = path.with_name(path.name + ".tmp")
+    with open(tmp, "wb") as fp:
+        pickle.dump(payload, fp)
+        fp.flush()
+        os.fsync(fp.fileno())
+    os.replace(tmp, path)
+
+
+def wait_pending():
+    """Block until the in-flight async checkpoint write (if any) finishes."""
+    with _writer_lock:
+        threads = list(_pending)
+    for t in threads:
+        t.join()
+
+
+def save_checkpoint(expdir, state, async_write=False):
     expdir = Path(expdir)
     expdir.mkdir(parents=True, exist_ok=True)
     path = expdir / f"checkpoint_{int(state['steps'])}steps.pkl"
@@ -29,8 +61,18 @@ def save_checkpoint(expdir, state):
         "opt": _to_numpy(state["opt"]),
         "rng": np.asarray(state["rng"]),
     }
-    with open(path, "wb") as fp:
-        pickle.dump(payload, fp)
+    if not async_write:
+        wait_pending()  # never interleave with an async writer
+        _write_atomic(path, payload)
+        return path
+    wait_pending()  # single writer: previous save must land first
+    t = threading.Thread(
+        target=_write_atomic, args=(path, payload), daemon=True
+    )
+    with _writer_lock:
+        _pending.clear()
+        _pending.append(t)
+    t.start()
     return path
 
 

@@ -26,7 +26,7 @@ from crank_tpu.parallel.mesh import (
     decode_wire, encode_wire, fetch_replicated, get_mesh, local_rows,
     pad_batch_to, replicate, shard_batch,
 )
-from crank_tpu.train.checkpoint import save_checkpoint
+from crank_tpu.train.checkpoint import save_checkpoint, wait_pending
 from crank_tpu.train.dataset import create_one_hot, select_device_batch
 from crank_tpu.train.steps import Mode, StepFactory
 from crank_tpu.utils.naming import format_decoded_stem
@@ -129,6 +129,7 @@ class Trainer:
         if flag == "train":
             while not self.finish_train:
                 self._tr_epoch()
+            wait_pending()  # async checkpoint writer must land before exit
             logging.info("Finish training")
             if self.writer:
                 for w in self.writer.values():
@@ -466,7 +467,7 @@ class Trainer:
             "opt": self.state["opt"],
             "rng": self.rng,
         }
-        path = save_checkpoint(self.expdir, state)
+        path = save_checkpoint(self.expdir, state, async_write=True)
         logging.info("saved checkpoint: %s", path)
 
     def _print_loss(self, loss_values, phase="train"):

@@ -351,3 +351,34 @@ def test_memory_watchdog_checkpoints_and_stops(tmp_path, corpus):
     assert tr.hit_memory_watchdog
     assert tr.steps < conf["n_steps"]  # stopped early
     assert find_latest_checkpoint(tmp_path) is not None
+
+
+def test_checkpoint_atomic_and_async(tmp_path):
+    """Async checkpoint write lands atomically (no .tmp left, loadable),
+    and wait_pending() is a reliable barrier."""
+    from crank_tpu.train.checkpoint import (
+        find_latest_checkpoint,
+        load_checkpoint,
+        save_checkpoint,
+        wait_pending,
+    )
+
+    state = {
+        "steps": 7,
+        "params": {"G": {"w": np.ones((64, 64), np.float32)}},
+        "ema": {"c": np.zeros(3)},
+        "opt": {"G": np.arange(4)},
+        "rng": np.array([0, 1], np.uint32),
+    }
+    p = save_checkpoint(tmp_path, state, async_write=True)
+    wait_pending()
+    assert p.exists() and not list(tmp_path.glob("*.tmp"))
+    payload = load_checkpoint(p)
+    assert payload["steps"] == 7
+    np.testing.assert_array_equal(
+        payload["params"]["G"]["w"], state["params"]["G"]["w"]
+    )
+    # second (sync) save coexists; latest selection picks the higher step
+    state["steps"] = 12
+    save_checkpoint(tmp_path, state)
+    assert find_latest_checkpoint(tmp_path).name == "checkpoint_12steps.pkl"
