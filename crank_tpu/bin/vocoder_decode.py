@@ -6,11 +6,15 @@ import logging
 import sys
 from pathlib import Path
 
-from crank_tpu.features.store import read_feature
 from crank_tpu.train.checkpoint import find_latest_checkpoint, load_checkpoint
 from crank_tpu.utils import load_yaml
 from crank_tpu.utils.audio_io import write_wav
-from crank_tpu.vocoder.train import VocoderTrainer
+from crank_tpu.vocoder.train import (
+    VocoderTrainer,
+    aux_channels_for,
+    aux_exts_for,
+    concat_aux_features,
+)
 
 logging.basicConfig(level=logging.INFO, stream=sys.stdout)
 
@@ -26,15 +30,16 @@ def main():
 
     conf = load_yaml(args.conf)
     voc_conf = conf.get("vocoder", {})
-    voc_conf.setdefault("aux_channels", conf["feature"]["mlfb_dim"])
+    voc_conf.setdefault("aux_channels", aux_channels_for(conf))
     ckpt = args.checkpoint or find_latest_checkpoint(args.expdir)
     assert ckpt, f"no vocoder checkpoint under {args.expdir}"
     state = load_checkpoint(ckpt)
     trainer = VocoderTrainer(voc_conf, args.expdir, resume_state=state)
 
     rootdir, outdir = Path(args.rootdir), Path(args.outdir)
+    exts = aux_exts_for(conf, decoded=True)
     for h5f in sorted(rootdir.rglob("*.h5")):
-        mel = read_feature(h5f, "feats")
+        mel = concat_aux_features(h5f, exts)
         wav = trainer.decode_mel(mel)
         rel = h5f.relative_to(rootdir).parent
         (outdir / rel).mkdir(parents=True, exist_ok=True)

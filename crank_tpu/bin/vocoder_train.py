@@ -13,7 +13,12 @@ from pathlib import Path
 
 from crank_tpu.train.checkpoint import find_latest_checkpoint, load_checkpoint
 from crank_tpu.utils import load_yaml, open_featsscp, open_scpdir
-from crank_tpu.vocoder.train import VocoderDataset, VocoderTrainer
+from crank_tpu.vocoder.train import (
+    VocoderDataset,
+    VocoderTrainer,
+    aux_channels_for,
+    aux_exts_for,
+)
 
 logging.basicConfig(level=logging.INFO, stream=sys.stdout)
 
@@ -32,13 +37,14 @@ def main():
 
     conf = load_yaml(args.conf)
     voc_conf = conf.get("vocoder", {})
-    voc_conf.setdefault("aux_channels", conf["feature"]["mlfb_dim"])
+    # mel path conditions on mlfb; mcep path on [mcep, lcf0, uv]
+    voc_conf.setdefault("aux_channels", aux_channels_for(conf))
 
     scp = open_scpdir(Path(args.scpdir) / "train")
     featdir = Path(args.featdir) / conf["feature"]["label"]
     feats = open_featsscp(featdir / "train" / "feats.scp")
 
-    ext = "mlfb"
+    ext = aux_exts_for(conf)
     if args.decoded_rootdir:
         # map decoded h5 dumps back to their source uids by stem
         decoded = {}
@@ -50,7 +56,7 @@ def main():
             spkr = h5f.parent.name
             decoded[f"{spkr}_{stem}"] = str(h5f)
         feats = decoded
-        ext = "feats"
+        ext = aux_exts_for(conf, decoded=True)
 
     dataset = VocoderDataset(
         scp["wav"], feats, hop_size=conf["feature"]["hop_size"],

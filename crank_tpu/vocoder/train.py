@@ -22,6 +22,35 @@ from crank_tpu.utils.audio_io import read_wav
 from crank_tpu.vocoder.loss import multi_resolution_stft_loss
 from crank_tpu.vocoder.model import PWGVocoder
 
+def concat_aux_features(h5f, exts):
+    """Read + concat conditioning features from one h5 (1-D keys get a
+    trailing dim; lengths are trimmed to the shortest key)."""
+    arrs = []
+    for e in exts:
+        a = np.asarray(read_feature(h5f, e), np.float32)
+        if a.ndim == 1:
+            a = a[:, None]
+        arrs.append(a)
+    t = min(a.shape[0] for a in arrs)
+    return np.concatenate([a[:t] for a in arrs], axis=-1)
+
+
+def aux_exts_for(conf, decoded=False):
+    """Conditioning h5 keys for a recipe conf: the mel path conditions on
+    the mel spectrogram; the mcep path on [mcep, lcf0, uv] (WORLD-feature
+    WaveNet-vocoder convention)."""
+    if conf.get("output_feat_type", "mlfb") == "mcep":
+        return ("feats", "lcf0", "uv") if decoded else ("mcep", "lcf0", "uv")
+    return ("feats",) if decoded else ("mlfb",)
+
+
+def aux_channels_for(conf):
+    fc = conf["feature"]
+    if conf.get("output_feat_type", "mlfb") == "mcep":
+        return fc["mcep_dim"] + 1 + 2  # mcep incl. 0th + lcf0 + uv
+    return fc["mlfb_dim"]
+
+
 DEFAULTS = {
     "batch_size": 8,
     "batch_max_frames": 100,       # segment length in mel frames
@@ -42,10 +71,13 @@ DEFAULTS = {
 
 
 class VocoderDataset:
-    """(wav segment, aligned mel frames) pairs.
+    """(wav segment, aligned aux-feature frames) pairs.
 
-    mel may come from the natural feats.scp ('mlfb') or from decoded
-    reconstruction dumps ('feats') for fine-tuning.
+    Conditioning may come from the natural feats.scp ('mlfb' for the mel
+    path; ('mcep', 'lcf0', 'uv') concatenated for the WORLD-feature path)
+    or from decoded reconstruction dumps ('feats' / ('feats','lcf0','uv'))
+    for fine-tuning.  ``ext`` takes a single h5 key or a tuple of keys
+    concatenated along the feature axis (1-D keys get a trailing dim).
     """
 
     def __init__(self, wav_by_uid, feats_by_uid, hop_size,
@@ -55,7 +87,7 @@ class VocoderDataset:
         self.feats = feats_by_uid
         self.hop = hop_size
         self.frames = batch_max_frames
-        self.ext = ext
+        self.ext = (ext,) if isinstance(ext, str) else tuple(ext)
         self.rng = random.Random(seed)
         self._cache = {}
 
@@ -65,7 +97,7 @@ class VocoderDataset:
     def _load(self, uid):
         if uid not in self._cache:
             x, fs = read_wav(self.wavs[uid])
-            mel = read_feature(self.feats[uid], self.ext)
+            mel = concat_aux_features(self.feats[uid], self.ext)
             self._cache[uid] = (x.astype(np.float32), mel)
         return self._cache[uid]
 

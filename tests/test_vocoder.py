@@ -91,3 +91,46 @@ def test_vocoder_dataset(tmp_path):
                         ext="mlfb")
     w, m = ds.batch(4)
     assert w.shape == (4, 20 * HOP) and m.shape == (4, 20, 16)
+
+
+def test_aux_feature_helpers(tmp_path):
+    """mcep-path conditioning: [mcep(+0th), lcf0, uv] concat + channel calc
+    (mel path unchanged)."""
+    from crank_tpu.features.store import write_features
+    from crank_tpu.vocoder.train import (
+        VocoderDataset,
+        aux_channels_for,
+        aux_exts_for,
+        concat_aux_features,
+    )
+
+    conf_mel = {"output_feat_type": "mlfb",
+                "feature": {"mlfb_dim": 24, "mcep_dim": 10}}
+    conf_mcep = {"output_feat_type": "mcep",
+                 "feature": {"mlfb_dim": 24, "mcep_dim": 10}}
+    assert aux_exts_for(conf_mel) == ("mlfb",)
+    assert aux_exts_for(conf_mel, decoded=True) == ("feats",)
+    assert aux_exts_for(conf_mcep) == ("mcep", "lcf0", "uv")
+    assert aux_exts_for(conf_mcep, decoded=True) == ("feats", "lcf0", "uv")
+    assert aux_channels_for(conf_mel) == 24
+    assert aux_channels_for(conf_mcep) == 13  # 11 mcep + lcf0 + uv
+
+    rng = np.random.default_rng(0)
+    h5f = tmp_path / "u.h5"
+    write_features(h5f, {
+        "mcep": rng.standard_normal((20, 11)).astype(np.float32),
+        "lcf0": rng.standard_normal(20).astype(np.float32),  # 1-D key
+        "uv": np.ones((20, 1), np.float32),
+    })
+    aux = concat_aux_features(h5f, ("mcep", "lcf0", "uv"))
+    assert aux.shape == (20, 13)
+    np.testing.assert_array_equal(aux[:, -1], 1.0)
+
+    from crank_tpu.utils.audio_io import write_wav
+
+    wavf = tmp_path / "u.wav"
+    write_wav(wavf, 0.1 * rng.standard_normal(20 * 128), 22050)
+    ds = VocoderDataset({"u": str(wavf)}, {"u": str(h5f)}, hop_size=128,
+                        batch_max_frames=8, ext=("mcep", "lcf0", "uv"))
+    w, m = ds.batch(2)
+    assert w.shape == (2, 8 * 128) and m.shape == (2, 8, 13)
