@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Streaming-conversion latency benchmark (model chunk step on device).
+
+Measures the jitted streaming chunk step (convert/streaming.py) of the
+production-scale causal VQVAE2 (template/conf/default.yml geometry,
+causal=true) at several chunk sizes: per-chunk compute latency vs the
+chunk's audio duration.  real_time_factor < 1 at a given chunk size means
+live conversion sustains at that latency.
+
+Prints one JSON line per chunk size.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def main():
+    from crank_tpu.configs import default_conf
+    from crank_tpu.convert.streaming import StreamingConverter
+    from crank_tpu.features.scaler import StandardScaler
+
+    conf = default_conf()
+    conf["causal"] = True
+    fs, hop = conf["feature"]["fs"], conf["feature"]["hop_size"]
+    D = conf["input_size"]
+
+    rng = np.random.default_rng(0)
+    spkrs = {"SF1": 0, "TM1": 1}
+    scaler = {"mlfb": StandardScaler().partial_fit(
+        rng.standard_normal((500, D)))}
+    scaler["lcf0"] = StandardScaler().partial_fit(
+        5.0 + 0.2 * rng.standard_normal((500, 1)))
+    for s, mu in (("SF1", 5.3), ("TM1", 4.7)):
+        scaler[s] = {"lcf0": StandardScaler().partial_fit(
+            mu + 0.15 * rng.standard_normal((400, 1)))}
+
+    import jax
+
+    from crank_tpu.train.factory import build_models, init_models
+
+    conf["trainer_type"] = "vqvae"
+    models = build_models(conf, len(spkrs))
+    params, ema = init_models(models, conf, len(spkrs),
+                              jax.random.PRNGKey(0), B=1, T=64)
+
+    for chunk in (8, 16, 32, 64):
+        conv = StreamingConverter(
+            conf, len(spkrs), params["G"], ema, scaler, spkrs,
+            "SF1", "TM1", chunk_frames=chunk,
+        )
+        mlfb = rng.standard_normal((chunk, D)).astype(np.float32)
+        lcf0 = (5.2 + 0.1 * rng.standard_normal((chunk, 1))).astype(
+            np.float32)
+        uv = np.ones((chunk, 1), np.float32)
+        conv.push(mlfb, lcf0, uv)  # compile
+        lat = []
+        for _ in range(50):
+            t0 = time.perf_counter()
+            conv.push(mlfb, lcf0, uv)
+            lat.append(time.perf_counter() - t0)
+        lat = np.asarray(lat)
+        chunk_s = chunk * hop / fs
+        print(json.dumps({
+            "metric": "streaming_chunk_latency",
+            "chunk_frames": chunk,
+            "chunk_ms": round(chunk_s * 1000, 2),
+            "latency_ms_mean": round(float(lat.mean()) * 1000, 3),
+            "latency_ms_p95": round(
+                float(np.percentile(lat, 95)) * 1000, 3),
+            "rtf": round(float(lat.mean()) / chunk_s, 4),
+            "unit": "ms",
+        }))
+
+
+if __name__ == "__main__":
+    main()
