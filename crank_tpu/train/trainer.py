@@ -67,6 +67,10 @@ class Trainer:
         self.resume_steps = int(resume)
         self.finish_train = False
         self.hit_memory_watchdog = False
+        from concurrent.futures import ThreadPoolExecutor
+
+        # one worker: serializes matplotlib use and bounds memory
+        self._io_pool = ThreadPoolExecutor(max_workers=1)
 
         self.mesh = mesh or get_mesh()
         self.factory = StepFactory(
@@ -129,6 +133,7 @@ class Trainer:
         if flag == "train":
             while not self.finish_train:
                 self._tr_epoch()
+            self._drain_io()
             wait_pending()  # async checkpoint writer must land before exit
             logging.info("Finish training")
             if self.writer:
@@ -176,6 +181,13 @@ class Trainer:
                 yield queue.popleft()
         while queue:
             yield queue.popleft()
+
+    def _drain_io(self):
+        """Wait for queued async dev-wav saves (end of training segment)."""
+        self._io_pool.shutdown(wait=True)
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._io_pool = ThreadPoolExecutor(max_workers=1)
 
     def _next_rng(self):
         self.rng, k = jax.random.split(self.rng)
@@ -361,10 +373,24 @@ class Trainer:
         if save_hdf5:
             self._save_decoded_to_hdf5(feats)
         if save_decoded:
-            if self.conf["output_feat_type"] == "mcep":
-                self._save_decoded_world(feats)
-            else:
-                self._save_decoded_mlfb(feats)
+            # dev-time listening wavs: synthesize + write on a single
+            # background worker so the train loop keeps dispatching steps
+            # (the GL device work interleaves with training; the host-side
+            # iSTFT waits, file writes and matplotlib renders move off the
+            # critical path).  Drained at segment end (_drain_io).
+            save = (
+                self._save_decoded_world
+                if self.conf["output_feat_type"] == "mcep"
+                else self._save_decoded_mlfb
+            )
+
+            def task(feats=feats, save=save):
+                try:
+                    save(feats)
+                except Exception as e:  # pragma: no cover
+                    logging.info("ERROR: async decoded-wav save (%s)", e)
+
+            self._io_pool.submit(task)
 
     def _store_features(self, batch, decoded, cv_spkr_name, tdir):
         """Inverse-scale decoded features + statistics-F0 per utterance
