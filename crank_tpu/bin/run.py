@@ -240,11 +240,14 @@ def main():
 
             if not list(voc_expdir.glob("checkpoint_*steps.pkl")):
                 # pretrain on natural pairs, then fine-tune on stage-4 dumps
+                # (--finetune extends the step target past the pretraining
+                # n_steps by conf vocoder.finetune_steps, stable across
+                # watchdog relaunches)
                 voc_train_cmd(outdir / "vocoder_train.log")
                 recon = expdir / confname / "reconstruction" / n_decode_steps
                 if recon.exists():
                     voc_train_cmd(outdir / "vocoder_finetune.log",
-                                  ("--decoded_rootdir", recon))
+                                  ("--decoded_rootdir", recon, "--finetune"))
             run_cmd(
                 py + ["crank_tpu.bin.vocoder_decode", "--conf", conf,
                       "--rootdir", eval_wav, "--outdir", outdir / "wav",

@@ -33,6 +33,10 @@ def main():
                         help="fine-tune on decoded feature dumps")
     parser.add_argument("--checkpoint", type=str, default=None)
     parser.add_argument("--n_steps", type=int, default=None)
+    parser.add_argument("--finetune", action="store_true",
+                        help="fine-tuning phase: train to n_steps + "
+                             "finetune_steps (both from conf, so the "
+                             "target is stable across watchdog relaunches)")
     args = parser.parse_args()
 
     conf = load_yaml(args.conf)
@@ -70,7 +74,11 @@ def main():
         resume_state = load_checkpoint(ckpt)
     trainer = VocoderTrainer(voc_conf, args.expdir,
                              resume_state=resume_state)
-    trainer.train(dataset, n_steps=args.n_steps)
+    n_steps = args.n_steps
+    if args.finetune and n_steps is None:
+        c = trainer.conf
+        n_steps = c["n_steps"] + c.get("finetune_steps", 50000)
+    trainer.train(dataset, n_steps=n_steps)
     if trainer.hit_memory_watchdog:
         sys.exit(75)  # EX_TEMPFAIL: checkpointed, caller should relaunch
 
