@@ -35,13 +35,28 @@ from pathlib import Path
 import numpy as np
 
 
+def frame_window(fc):
+    """The exact analysis window the offline extractor uses: symmetric
+    window of win_length (features/extractor.py:59-64, periodic=False),
+    center-padded to fftl (dsp/spectrum.stft_np)."""
+    from crank_tpu.dsp.spectrum import _pad_center
+    from crank_tpu.dsp.windows import get_window
+
+    win = get_window("hann", fc.get("win_length", fc["fftl"]),
+                     periodic=False)
+    return _pad_center(win, fc["fftl"])
+
+
 def frame_mlfb(buf, t0, t1, fc, mel_basis, win):
     """Frames [t0, t1) of the center/reflect mel spectrogram of ``buf``.
 
-    Reproduces dsp/spectrum.logmelfilterbank exactly for any frame whose
-    centered window fits in the buffered past + fftl/2 lookahead (start-of-
-    stream reflect padding uses the real buffered samples).
+    Reproduces dsp/spectrum.logmelfilterbank exactly (same window via
+    :func:`frame_window`, same reflect convention, same eps) for any frame
+    whose centered window fits in the buffered past + fftl/2 lookahead
+    (start-of-stream reflect padding uses the real buffered samples).
     """
+    from crank_tpu.dsp.spectrum import EPS
+
     fftl, hop = fc["fftl"], fc["hop_size"]
     half = fftl // 2
     frames = []
@@ -53,7 +68,7 @@ def frame_mlfb(buf, t0, t1, fc, mel_basis, win):
             seg = np.concatenate([buf[1 : 1 - lo][::-1], seg])
         frames.append(seg)
     spc = np.abs(np.fft.rfft(np.stack(frames) * win[None, :], axis=-1))
-    return np.log10(np.maximum(1e-10, spc @ mel_basis.T)).astype(np.float32)
+    return np.log10(np.maximum(EPS, spc @ mel_basis.T)).astype(np.float32)
 
 
 def main():
@@ -85,7 +100,6 @@ def main():
         causal_hold_continuous_f0,
     )
     from crank_tpu.dsp.mel import mel_filterbank, mel_pseudo_inverse
-    from crank_tpu.dsp.spectrum import stft_np
     from crank_tpu.features.scaler import load_scaler
     from crank_tpu.native import world
     from crank_tpu.train.checkpoint import load_checkpoint
@@ -128,13 +142,16 @@ def main():
 
     mel_basis = mel_filterbank(fs, fftl, fc["mlfb_dim"], fc["fmin"],
                                fc["fmax"])
-    win = np.hanning(fftl + 1)[:-1]  # periodic hann (librosa semantics)
+    win = frame_window(fc)  # offline-extractor window (symmetric, padded)
     inv_basis = mel_pseudo_inverse(fs, fftl, fc["mlfb_dim"], fc["fmin"],
                                    fc["fmax"])
 
     chunk = args.chunk_frames
     half = fftl // 2
     f0_ctx = int(args.f0_ctx_ms / 1000.0 * fs) // hop * hop
+    # the F0 analyzer runs on the WORLD shiftms grid, which may differ from
+    # the mel hop grid — map mel frame t to F0 frame round(t*hop / f0_hop)
+    f0_hop = fs * fc["shiftms"] / 1000.0  # samples per F0 frame (float)
 
     # warm up the jitted chunk step (compile outside the timed loop)
     conv.push(
@@ -152,33 +169,44 @@ def main():
     emitted = 0  # frames fed to the converter so far
 
     # stream the audio in chunk-sized hops; each iteration simulates the
-    # arrival of chunk*hop new samples
+    # arrival of chunk*hop new samples.  The trailing partial chunk is
+    # pushed zero-padded and trimmed, so no input frames are dropped.
     n_total = (len(x) - half) // hop  # frames whose lookahead is available
-    for t0 in range(0, n_total - chunk + 1, chunk):
+    if n_total < 1:
+        raise SystemExit(
+            f"input too short: need at least {hop + half} samples "
+            f"({(hop + half) / fs * 1000:.0f} ms) of audio, got {len(x)}"
+        )
+    for t0 in range(0, n_total, chunk):
         t_arrive = time.perf_counter()
-        t1 = t0 + chunk
+        t1 = min(t0 + chunk, n_total)
+        r = t1 - t0  # valid frames in this (possibly final partial) chunk
         buf = x[: t1 * hop + half]
 
         mlfb = frame_mlfb(buf, t0, t1, fc, mel_basis, win)
+        if r < chunk:
+            mlfb = np.pad(mlfb, ((0, chunk - r), (0, 0)))
 
-        # causal F0: analyze the trailing context ending at the newest sample
-        s0 = max(0, t1 * hop + half - f0_ctx - fftl)
+        # causal F0: analyze the trailing context ending at the newest
+        # sample (never starting after the chunk itself)
+        s0 = max(0, min(t1 * hop + half - f0_ctx - fftl, t0 * hop))
         s0 = (s0 // hop) * hop
         f0_win = world.f0_analyze(
             np.ascontiguousarray(buf[s0:]), fs,
             shiftms=fc["shiftms"], minf0=minf0, maxf0=maxf0,
         )
-        off = t0 - s0 // hop
         f0_chunk = np.zeros(chunk)
-        avail = f0_win[off : off + chunk] if off >= 0 else f0_win[:0]
-        f0_chunk[: len(avail)] = avail
+        for i in range(r):  # mel frame -> F0 frame on the shiftms grid
+            j = int(round(((t0 + i) * hop - s0) / f0_hop))
+            if 0 <= j < len(f0_win):
+                f0_chunk[i] = f0_win[j]
         uv, cont_f0, held_f0 = causal_hold_continuous_f0(
             f0_chunk, prev_value=held_f0
         )
         lcf0 = np.log(np.maximum(cont_f0, 1e-10)).astype(np.float32)
 
         out = conv.push(mlfb, lcf0[:, None], uv[:, None])
-        cv_mel = out["mlfb"][0]
+        cv_mel = out["mlfb"][0][:r]
         out_mels.append(cv_mel)
 
         if args.synth == "gl":
@@ -187,14 +215,14 @@ def main():
                 if mel_ctx is None
                 else np.concatenate([mel_ctx, cv_mel], axis=0)
             )
-            n_ctx = ctx.shape[0] - chunk
+            n_ctx = ctx.shape[0] - r
             spc = np.power(10.0, ctx) @ inv_basis.T
             wav_seg = _gl_numpy(spc, fftl, hop, win, args.gl_iters)
-            seg = wav_seg[n_ctx * hop : (n_ctx + chunk) * hop].copy()
+            seg = wav_seg[n_ctx * hop : (n_ctx + r) * hop].copy()
             if prev_tail is not None:  # one-hop cross-fade at the boundary
                 ramp = np.linspace(0.0, 1.0, hop)
                 seg[:hop] = (1 - ramp) * prev_tail + ramp * seg[:hop]
-            prev_tail = wav_seg[(n_ctx + chunk) * hop :][:hop]
+            prev_tail = wav_seg[(n_ctx + r) * hop :][:hop]
             prev_tail = (
                 None if len(prev_tail) < hop else prev_tail
             )

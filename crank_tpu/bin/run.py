@@ -238,16 +238,20 @@ def main():
                     if code == 0:
                         return
 
-            if not list(voc_expdir.glob("checkpoint_*steps.pkl")):
-                # pretrain on natural pairs, then fine-tune on stage-4 dumps
-                # (--finetune extends the step target past the pretraining
-                # n_steps by conf vocoder.finetune_steps, stable across
-                # watchdog relaunches)
-                voc_train_cmd(outdir / "vocoder_train.log")
-                recon = expdir / confname / "reconstruction" / n_decode_steps
-                if recon.exists():
-                    voc_train_cmd(outdir / "vocoder_finetune.log",
-                                  ("--decoded_rootdir", recon, "--finetune"))
+            # pretrain on natural pairs, then fine-tune on stage-4 dumps.
+            # Both invocations auto-resume from the latest checkpoint and
+            # exit immediately once their step target is reached, so
+            # re-running stage 6 after any interruption (not just watchdog
+            # relaunches) completes the remaining training instead of
+            # silently decoding with a partially-trained vocoder.
+            # (--finetune extends the target past the pretraining n_steps
+            # by conf vocoder.finetune_steps — config-derived, stable
+            # across relaunches.)
+            voc_train_cmd(outdir / "vocoder_train.log")
+            recon = expdir / confname / "reconstruction" / n_decode_steps
+            if recon.exists():
+                voc_train_cmd(outdir / "vocoder_finetune.log",
+                              ("--decoded_rootdir", recon, "--finetune"))
             run_cmd(
                 py + ["crank_tpu.bin.vocoder_decode", "--conf", conf,
                       "--rootdir", eval_wav, "--outdir", outdir / "wav",

@@ -114,22 +114,23 @@ class StreamingConverter:
     def _condition(self, lcf0_raw, uv):
         """Build (enc_h, dec_h, spkrvec) from raw log-F0 + voicing.
 
-        Matches the offline conversion path (train/trainer.py:325-347):
-        encoder sees the *source* normalized lcf0; the decoder sees the
-        statistics-transformed target lcf0, normalized by the global scaler.
+        Matches the offline conversion path: with an explicit target
+        speaker, *both* encoder and decoder F0 conditioning use the
+        statistics-transformed target lcf0, normalized by the global
+        scaler (reference basetrainer._get_enc_h/_get_f0_condition with
+        cv_spkr_name set, basetrainer.py:253-258,277-283; this repo's
+        trainer._convert_batch + steps.enc_h(use_cvfeats=True)).
         """
         conf, scaler = self.conf, self.scaler
         B, T = lcf0_raw.shape[:2]
-        lcf0_n = np.empty_like(lcf0_raw)
         cv_lcf0_n = np.empty_like(lcf0_raw)
         for b in range(B):
-            lcf0_n[b] = scaler["lcf0"].transform(lcf0_raw[b])
             cv_lcf0_n[b] = scaler["lcf0"].transform(
                 convert_f0(scaler, lcf0_raw[b], self.org_spkr, self.cv_spkr)
             )
         uv = np.asarray(uv, np.float32)
         enc_h = (
-            np.concatenate([lcf0_n, uv], axis=-1).astype(np.float32)
+            np.concatenate([cv_lcf0_n, uv], axis=-1).astype(np.float32)
             if conf["encoder_f0"]
             else None
         )

@@ -27,6 +27,7 @@ import numpy as np
 
 _writer_lock = threading.Lock()
 _pending: list = []  # at most one in-flight writer thread
+_writer_error: list = []  # first unreported async-writer failure
 
 
 def _to_numpy(tree):
@@ -42,12 +43,34 @@ def _write_atomic(path, payload):
     os.replace(tmp, path)
 
 
+def _write_atomic_bg(path, payload):
+    try:
+        _write_atomic(path, payload)
+    except BaseException as e:  # surfaced by the next save/wait_pending
+        with _writer_lock:
+            _writer_error.append(e)
+
+
+def _raise_writer_error():
+    with _writer_lock:
+        err = _writer_error.pop(0) if _writer_error else None
+    if err is not None:
+        raise RuntimeError(
+            "async checkpoint write failed — training state was NOT saved"
+        ) from err
+
+
 def wait_pending():
-    """Block until the in-flight async checkpoint write (if any) finishes."""
+    """Block until the in-flight async checkpoint write (if any) finishes.
+
+    Raises if that write failed — a lost checkpoint must never be silent
+    (the watchdog relaunch depends on the latest checkpoint existing).
+    """
     with _writer_lock:
         threads = list(_pending)
     for t in threads:
         t.join()
+    _raise_writer_error()
 
 
 def save_checkpoint(expdir, state, async_write=False):
@@ -65,9 +88,10 @@ def save_checkpoint(expdir, state, async_write=False):
         wait_pending()  # never interleave with an async writer
         _write_atomic(path, payload)
         return path
-    wait_pending()  # single writer: previous save must land first
+    wait_pending()  # single writer: previous save must land first (raises
+    #                 if it failed, so failures surface at the next save)
     t = threading.Thread(
-        target=_write_atomic, args=(path, payload), daemon=True
+        target=_write_atomic_bg, args=(path, payload), daemon=True
     )
     with _writer_lock:
         _pending.clear()

@@ -236,3 +236,48 @@ def test_convert_stream_cli(tiny_setup, tmp_path, monkeypatch):
     y, fs_out = read_wav(outf)
     assert fs_out == fs and len(y) > fs // 2
     assert np.all(np.isfinite(y))
+
+
+def test_frame_mlfb_matches_offline_extractor():
+    """The streaming frontend reproduces dsp/spectrum.logmelfilterbank
+    (same symmetric win_length window, reflect convention, eps) for every
+    frame whose lookahead is available."""
+    from crank_tpu.bin.convert_stream import frame_mlfb, frame_window
+    from crank_tpu.dsp.mel import mel_filterbank
+    from crank_tpu.dsp.spectrum import logmelfilterbank
+    from crank_tpu.dsp.windows import get_window
+
+    fs, hop, fftl, wl, n_mels = 22050, 128, 512, 400, 24
+    fc = {"fftl": fftl, "hop_size": hop, "win_length": wl, "fs": fs}
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(fs // 2)
+
+    offline = logmelfilterbank(
+        x, fs, hop_size=hop, fft_size=fftl, win_length=wl,
+        window=get_window("hann", wl, periodic=False),
+        num_mels=n_mels, fmin=80, fmax=7600,
+    )
+    basis = mel_filterbank(fs, fftl, n_mels, 80, 7600)
+    win = frame_window(fc)
+    n = (len(x) - fftl // 2) // hop
+    streamed = np.concatenate([
+        frame_mlfb(x[: t1 * hop + fftl // 2], t0, t1, fc, basis, win)
+        for t0, t1 in ((i, min(i + 16, n)) for i in range(0, n, 16))
+    ])
+    np.testing.assert_allclose(streamed, offline[:n], rtol=1e-4, atol=1e-5)
+
+
+def test_async_checkpoint_write_failure_surfaces(tmp_path):
+    from crank_tpu.train.checkpoint import save_checkpoint, wait_pending
+
+    state = {"steps": 1, "params": {}, "ema": {}, "opt": {},
+             "rng": np.zeros(2, np.uint32)}
+    save_checkpoint(tmp_path / "ok", state, async_write=True)
+    wait_pending()
+    # deterministic writer failure: a lambda survives _to_numpy as a 0-d
+    # object array but cannot be pickled, so the background write raises
+    bad_state = dict(state, steps=2, opt={"bad": (lambda: None)})
+    p = save_checkpoint(tmp_path, bad_state, async_write=True)
+    with pytest.raises(RuntimeError, match="NOT saved"):
+        wait_pending()
+    assert not p.exists()
