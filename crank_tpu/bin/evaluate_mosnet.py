@@ -30,21 +30,38 @@ def main():
     converted_files = sorted(Path(args.outwavdir).rglob("*.wav"))
     logging.info("number of utterances = %d", len(converted_files))
 
-    # audio reading/feature prep overlaps device inference via a thread pool
-    # (n_jobs parity with the reference CLI; inference itself is one device)
-    from joblib import Parallel, delayed
+    # audio reads overlap device inference via a bounded thread prefetch
+    # (n_jobs readers); peak memory stays at ~n_jobs files instead of the
+    # whole converted eval set
+    from concurrent.futures import ThreadPoolExecutor
 
-    loaded = Parallel(n_jobs=args.n_jobs, prefer="threads")(
-        delayed(read_wav)(f) for f in converted_files
-    )
+    n_readers = max(1, args.n_jobs if args.n_jobs > 0 else 4)
     pairwise = {}
-    for f, (x, fs) in zip(converted_files, loaded):
-        parsed = parse_decoded_stem(f.stem)
-        if parsed is None:
-            logging.warning("unrecognized decoded stem, skipping: %s", f)
-            continue
-        score = predictor.predict_wav(x, fs)
-        pairwise.setdefault(f"{parsed.org} {parsed.cv}", []).append(score)
+    with ThreadPoolExecutor(max_workers=n_readers) as pool:
+        import collections
+
+        queue = collections.deque()
+        files = iter(converted_files)
+
+        def enqueue():
+            f = next(files, None)
+            if f is not None:
+                queue.append((f, pool.submit(read_wav, f)))
+
+        for _ in range(2 * n_readers):
+            enqueue()
+        while queue:
+            f, fut = queue.popleft()
+            x, fs = fut.result()
+            enqueue()
+            parsed = parse_decoded_stem(f.stem)
+            if parsed is None:
+                logging.warning("unrecognized decoded stem, skipping: %s", f)
+                continue
+            score = predictor.predict_wav(x, fs)
+            pairwise.setdefault(
+                f"{parsed.org} {parsed.cv}", []
+            ).append(score)
 
     out = sys.stdout if args.out is None else open(args.out, "w")
     for k in sorted(pairwise):

@@ -52,6 +52,10 @@ def plot_metric(values, metric, out_png):
     fig, ax = plt.subplots(figsize=(8, 4))
     ax.hist(values, bins=150, range=rng, density=True, color="#4878b0",
             histtype="stepfilled")
+    if len(values) == 0:
+        # e.g. a speaker with zero voiced frames: emit a flat figure
+        # instead of crashing the whole stage on np.percentile
+        guides = ()
     for q in guides:
         p = np.percentile(values, q)
         ax.axvline(p, color="#c44e52", linestyle="--", linewidth=1)

@@ -183,6 +183,14 @@ def main():
             if code == 0:
                 break
             latest = find_latest_checkpoint(expdir / confname)
+            if latest is None:
+                # exit 75 promises a checkpoint; restarting from scratch
+                # with '--checkpoint None' would silently lose all progress
+                raise SystemExit(
+                    "trainer requested a relaunch but no checkpoint exists "
+                    f"under {expdir / confname} — aborting (disk full? "
+                    "non-writer host?)"
+                )
             print(f"[run] memory-watchdog relaunch from {latest}")
             ckpt = str(latest)
 

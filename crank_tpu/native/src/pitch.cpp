@@ -145,18 +145,24 @@ extern "C" int crank_f0_analyze(const double* x, int n, int fs, double shiftms,
   while (fft_n < win + tau_max) fft_n <<= 1;
 
   // ---- pass 1: per-frame candidates -------------------------------------
+  // one scratch window, re-extracted on demand in pass 3 — materializing
+  // all frames costs n_frames*win doubles (hundreds of MB for long 48 kHz
+  // recordings with low minf0, multiplied by extraction workers)
   std::vector<std::vector<Cand>> cands(n_frames);
   std::vector<double> best_cm(n_frames, 1.0);
   std::vector<double> power(n_frames, 0.0);
-  std::vector<double> frames((size_t)n_frames * win);
-  std::vector<double> cm;
-  for (int t = 0; t < n_frames; t++) {
-    double* buf = &frames[(size_t)t * win];
+  std::vector<double> frame_buf(win);
+  const auto extract = [&](int t, double* buf) {
     const int start = t * hop - w;  // window centered on the frame
     for (int j = 0; j < win; j++) {
       const int k = start + j;
       buf[j] = (k >= 0 && k < n) ? x[k] : 0.0;
     }
+  };
+  std::vector<double> cm;
+  for (int t = 0; t < n_frames; t++) {
+    double* buf = frame_buf.data();
+    extract(t, buf);
     double pw = 0.0;
     for (int j = 0; j < win; j++) pw += buf[j] * buf[j];
     power[t] = pw / win;
@@ -248,7 +254,8 @@ extern "C" int crank_f0_analyze(const double* x, int n, int fs, double shiftms,
       f0_out[t] = 0.0;
       continue;
     }
-    const double* buf = &frames[(size_t)t * win];
+    extract(t, frame_buf.data());
+    const double* buf = frame_buf.data();
     double ncc;
     const double tau =
         ncc_refine(buf, win, w, tau_max, cands[t][state[t]].tau, &ncc);

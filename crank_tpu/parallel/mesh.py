@@ -109,7 +109,12 @@ def encode_wire(batch: dict, feat_dtype=np.float16) -> dict:
         elif k in _WIRE_BINARY:
             out[k] = v.astype(np.uint8)
         elif k in _WIRE_INT:
-            out[k] = v.astype(np.int8)
+            # int8 only when actually lossless (spkr ids < 128 and the
+            # -100 ignore index); a >127-speaker corpus falls back to i16
+            if v.size == 0 or (v.max() < 128 and v.min() >= -128):
+                out[k] = v.astype(np.int8)
+            else:
+                out[k] = v.astype(np.int16)
         elif np.issubdtype(v.dtype, np.floating):
             out[k] = v.astype(feat_dtype)
         else:

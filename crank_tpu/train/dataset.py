@@ -545,11 +545,16 @@ def get_dataloaders(conf, scp, scaler, flag="train", seed=0,
         token_size = batch_len * batch_size
         batch_len = -(-calculate_maxflen(feats) // 64) * 64
         batch_size = max(1, token_size // batch_len)
+        # this value is data-derived (corpus max length), so round it up to
+        # a process multiple rather than erroring — ragged final batches
+        # are padded downstream anyway (trainer pad_batch_to)
+        batch_size = -(-batch_size // pc) * pc
 
     if batch_size % pc:
         raise ValueError(
             f"global batch_size {batch_size} must divide evenly over "
-            f"{pc} processes"
+            f"{pc} processes (set batch_size to a multiple of the host "
+            f"count)"
         )
     local_batch_size = batch_size // pc
 

@@ -271,6 +271,15 @@ class VocoderTrainer:
                 )
         except (OSError, StopIteration):
             return False
+        if jax.process_count() > 1:
+            # collective stop decision (max RSS across hosts) — a one-sided
+            # exit would leave the other hosts hung in the next all-reduce
+            # (same rule as Trainer._check_memory_watchdog)
+            from jax.experimental import multihost_utils
+
+            rss = float(
+                np.max(multihost_utils.process_allgather(np.float32(rss)))
+            )
         if rss > limit:
             logging.warning(
                 "host RSS above %.0f GB at vocoder step %d: checkpointing "
@@ -281,6 +290,8 @@ class VocoderTrainer:
         return False
 
     def save(self):
+        if jax.process_index() != 0:
+            return  # one writer per cluster (state is replicated)
         save_checkpoint(self.expdir, {
             "steps": self.steps, "rng": self.rng, **self.state,
         })
