@@ -17,6 +17,7 @@ itself proves frame-exact against the on-the-fly STFT
 import queue
 import random
 import threading
+import zlib
 from pathlib import Path
 
 import numpy as np
@@ -365,6 +366,10 @@ class VectorizedLoader:
             + self.f0_mean[cv][:, None, None]
         ).astype(np.float32)
         mask = valid[:, :, None]
+        # padded frames carry cv_lcf0 == 0.0, matching the per-item loader
+        # (_zero_padding pads after convert_f0) — without this the affine
+        # transform maps the bank's zero padding to a nonzero constant
+        b["cv_lcf0"] *= mask
         for m in ("encoder_mask", "decoder_mask", "cycle_encoder_mask",
                   "cycle_decoder_mask"):
             b[m] = mask
@@ -398,25 +403,14 @@ class VectorizedLoader:
     def __iter__(self):
         if not self._built:
             self._build()
-        q = queue.Queue(maxsize=4)
-        stop = object()
 
-        def worker():
-            try:
-                idx = self.rng.permutation(len(self.ds))
-                for bi in range(len(self)):
-                    sl = idx[bi * self.batch_size : (bi + 1) * self.batch_size]
-                    q.put(self._assemble(sl))
-            finally:
-                q.put(stop)
+        def make_batches():
+            idx = self.rng.permutation(len(self.ds))
+            for bi in range(len(self)):
+                sl = idx[bi * self.batch_size : (bi + 1) * self.batch_size]
+                yield self._assemble(sl)
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+        yield from threaded_batches(make_batches, maxsize=4)
 
 
 _STR_KEYS = ("flbl", "org_spkr_name", "cv_spkr_name")
@@ -431,6 +425,52 @@ DEVICE_KEYS = (
 def select_device_batch(batch):
     """Subset of a collated batch that goes to the device/jit boundary."""
     return {k: batch[k] for k in DEVICE_KEYS if k in batch}
+
+
+def threaded_batches(make_batches, maxsize):
+    """Prefetching iterator that survives consumer abandonment.
+
+    When the consuming generator is closed early (the trainer's dev loop
+    breaks after one batch every dev interval), the worker thread is
+    signalled through ``closed`` and exits — instead of blocking in
+    ``q.put`` forever and leaking a thread plus ``maxsize`` collated
+    batches per abandoned iteration.
+    """
+    q = queue.Queue(maxsize=maxsize)
+    stop = object()
+    closed = threading.Event()
+
+    def put(item):
+        while not closed.is_set():
+            try:
+                q.put(item, timeout=0.25)
+                return True
+            except queue.Full:
+                pass
+        return False
+
+    def worker():
+        try:
+            for item in make_batches():
+                if not put(item):
+                    return
+        finally:
+            put(stop)
+
+    threading.Thread(target=worker, daemon=True).start()
+    try:
+        while True:
+            item = q.get()
+            if item is stop:
+                return
+            yield item
+    finally:
+        closed.set()
+        while True:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 def collate(samples):
@@ -476,27 +516,14 @@ class DataLoader:
     def __iter__(self):
         from concurrent.futures import ThreadPoolExecutor
 
-        q = queue.Queue(maxsize=self.prefetch)
-        stop = object()
+        def make_batches():
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                for sl in self._index_batches():
+                    yield collate(
+                        list(pool.map(lambda i: self.dataset[int(i)], sl))
+                    )
 
-        def worker():
-            try:
-                with ThreadPoolExecutor(max_workers=4) as pool:
-                    for sl in self._index_batches():
-                        samples = list(
-                            pool.map(lambda i: self.dataset[int(i)], sl)
-                        )
-                        q.put(collate(samples))
-            finally:
-                q.put(stop)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+        yield from threaded_batches(make_batches, maxsize=self.prefetch)
 
 
 def shard_dataset_for_process(ds, process_index, process_count):
@@ -564,7 +591,10 @@ def get_dataloaders(conf, scp, scaler, flag="train", seed=0,
                "local_batch_size": local_batch_size}
     for phase, shuffle in (("train", True), ("dev", True), ("eval", False)):
         ds = VCDataset(conf, scp, scaler, phase=phase, batch_len=batch_len,
-                       seed=seed + hash(phase) % 1000 + pi * 7919)
+                       # zlib.crc32: stable across runs (builtin hash() is
+                       # salted per-process, breaking reproducibility)
+                       seed=seed + zlib.crc32(phase.encode()) % 1000
+                       + pi * 7919)
         train_sampling = phase == "train" and flag == "train"
         if not train_sampling:
             # deterministic full-utterance phases: disjoint per-host slices

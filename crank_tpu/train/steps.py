@@ -277,9 +277,16 @@ class StepFactory:
 
     # ----------------------------- G updates ---------------------------- #
 
-    def _g_args(self, batch, use_cvfeats=False):
+    def _g_args(self, batch, use_cvfeats=False, enc_cvfeats=None):
+        """Generator args.  ``enc_cvfeats`` decouples the encoder's F0
+        conditioning from the decoder's: the reference's LSGAN adversarial
+        forwards keep enc_h on the org features while dec_h switches to cv
+        (trainer_lsgan.py:86,96-97,118-125); eval/stargan condition both
+        on cv.  Defaults to following ``use_cvfeats``."""
+        if enc_cvfeats is None:
+            enc_cvfeats = use_cvfeats
         dec_h, spkrvec = self.dec_h(batch, use_cvfeats)
-        return (self.g_feats(batch), self.enc_h(batch, use_cvfeats), dec_h,
+        return (self.g_feats(batch), self.enc_h(batch, enc_cvfeats), dec_h,
                 spkrvec)
 
     def _cycle_args(self, batch):
@@ -330,9 +337,15 @@ class StepFactory:
                             lo["G"] += (
                                 self.alpha["acgan"] * lo[f"D_acgan_adv_{lbl}"]
                             )
-                        lo[f"D_adv_{lbl}"] = masked_mean(
-                            (d_out - 1.0) ** 2, mask
-                        )
+                            # reference masks D outputs only inside the
+                            # acgan branch (trainer_cyclegan.py:108-115);
+                            # without acgan the MSE runs over ALL frames
+                            # including padding — reproduced for parity
+                            lo[f"D_adv_{lbl}"] = masked_mean(
+                                (d_out - 1.0) ** 2, mask
+                            )
+                        else:
+                            lo[f"D_adv_{lbl}"] = jnp.mean((d_out - 1.0) ** 2)
                         lo["G"] += self.alpha["adv"] * lo[f"D_adv_{lbl}"]
             elif mode.gan_flag and mode.trainer_type == "stargan":
                 outs, ema = self.g_forward(
@@ -362,7 +375,9 @@ class StepFactory:
                 use_cv = conf["cvadv_flag"]
                 h = batch["cv_h"] if use_cv else batch["org_h"]
                 adv_outs, ema = self.g_forward(
-                    pG, ema, self._g_args(batch, use_cvfeats=use_cv),
+                    pG, ema,
+                    self._g_args(batch, use_cvfeats=use_cv,
+                                 enc_cvfeats=False),
                     use_ema=not conf["encoder_detach"],
                     encoder_detach=conf["encoder_detach"],
                 )
@@ -430,13 +445,23 @@ class StepFactory:
                     jax.lax.stop_gradient(outs[0]["cv"]["decoded"]),
                     params["G"], "cv",
                 )
-                sample = {
+                d_out_all = {
                     "real": self.d_apply(pD, real_in, k_drop),
-                    "org_fake": self.d_apply(pD, orgf_in, k_drop),
-                    "cv_fake": self.d_apply(pD, cvf_in, k_drop),
+                    "org_fake": self.d_apply(
+                        pD, orgf_in, jax.random.fold_in(k_drop, 1)
+                    ),
+                    "cv_fake": self.d_apply(
+                        pD, cvf_in, jax.random.fold_in(k_drop, 2)
+                    ),
                 }
+                pick_keys = jax.random.split(k_pick, conf["n_cycles"])
                 for c in range(conf["n_cycles"]):
                     lbl = f"{c}cyc"
+                    # the reference rebuilds `sample` fresh inside the
+                    # cycle loop (trainer_cyclegan.py:129-143), so the
+                    # acgan split below starts from the full D output
+                    # every cycle (XLA CSEs the repeated forwards)
+                    sample = dict(d_out_all)
                     if conf["acgan_flag"]:
                         for k in ("real", "org_fake", "cv_fake"):
                             h = batch["org_h"] if k != "cv_fake" else batch["cv_h"]
@@ -450,8 +475,9 @@ class StepFactory:
                     lo[f"D_real_{lbl}"] = masked_mean(
                         (sample["real"] - 1.0) ** 2, mask
                     )
-                    # random real-or-converted fake pick (cyclegan :166)
-                    pick_org = jax.random.bernoulli(k_pick)
+                    # per-cycle random real-or-converted fake pick
+                    # (reference re-draws random.choice each cycle, :166)
+                    pick_org = jax.random.bernoulli(pick_keys[c])
                     fake = jnp.where(
                         pick_org, sample["org_fake"], sample["cv_fake"]
                     )
@@ -485,14 +511,17 @@ class StepFactory:
                     params["G"], "cv",
                 )
                 lo = self.discriminator_loss(
-                    self.d_apply(pD, fake_in, k_drop), batch["cv_h"], mask,
+                    self.d_apply(pD, fake_in, jax.random.fold_in(k_drop, 1)),
+                    batch["cv_h"], mask,
                     lo, "fake", w_fake,
                 )
             else:  # lsgan
                 use_cv = conf["cvadv_flag"]
                 h = batch["cv_h"] if use_cv else batch["org_h"]
                 outs, ema = self.g_forward(
-                    params["G"], ema, self._g_args(batch, use_cvfeats=use_cv)
+                    params["G"], ema,
+                    self._g_args(batch, use_cvfeats=use_cv,
+                                 enc_cvfeats=False),
                 )
                 real_in = self.get_D_inputs(
                     batch, batch["in_feats"], params["G"], "org"
@@ -506,7 +535,8 @@ class StepFactory:
                     params["G"], "cv",
                 )
                 lo = self.discriminator_loss(
-                    self.d_apply(pD, fake_in, k_drop), h, mask, lo, "fake"
+                    self.d_apply(pD, fake_in, jax.random.fold_in(k_drop, 1)),
+                    h, mask, lo, "fake"
                 )
             return lo["D"], (lo, ema)
 
