@@ -10,16 +10,9 @@ equivalence tests (SURVEY.md §4 pattern).
 import numpy as np
 
 from crank_tpu.dsp.mel import mel_filterbank
-from crank_tpu.dsp.windows import get_window
+from crank_tpu.dsp.windows import get_window, pad_center as _pad_center
 
 EPS = 1e-10
-
-
-def _pad_center(window: np.ndarray, n_fft: int) -> np.ndarray:
-    if len(window) == n_fft:
-        return window
-    lpad = (n_fft - len(window)) // 2
-    return np.pad(window, (lpad, n_fft - len(window) - lpad))
 
 
 def stft_np(

@@ -14,14 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from crank_tpu.dsp.windows import get_window
-
-
-def _pad_center(window: np.ndarray, n_fft: int) -> np.ndarray:
-    if len(window) == n_fft:
-        return window
-    lpad = (n_fft - len(window)) // 2
-    return np.pad(window, (lpad, n_fft - len(window) - lpad))
+from crank_tpu.dsp.windows import get_window, pad_center as _pad_center
 
 
 def full_window(window, win_length, n_fft, periodic=True) -> np.ndarray:

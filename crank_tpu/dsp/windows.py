@@ -41,3 +41,14 @@ def get_window(name, length: int, periodic: bool = False) -> np.ndarray:
     if name == "blackman":
         return _w.blackman(length, sym=sym)
     raise ValueError(f"unknown window type: {name}")
+
+
+def pad_center(window, n_fft: int):
+    """Center-pad a window to n_fft (librosa/torch.stft convention)."""
+    import numpy as np
+
+    window = np.asarray(window)
+    if len(window) == n_fft:
+        return window
+    lpad = (n_fft - len(window)) // 2
+    return np.pad(window, (lpad, n_fft - len(window) - lpad))

@@ -42,10 +42,13 @@ class LogMelFilterBank(nn.Module):
         win_length = self.win_length or n_fft
 
         if self.window == "param":
+            # periodic init: the reference seeds the learnable window with
+            # scipy get_window("hann", N) whose default fftbins=True is the
+            # periodic variant (mlfb.py:73-76)
             win = self.param(
                 "window",
                 lambda _: jnp.asarray(
-                    get_window("hann", win_length, periodic=False), jnp.float32
+                    get_window("hann", win_length, periodic=True), jnp.float32
                 ),
             )
         elif self.window == "conv":
@@ -68,7 +71,12 @@ class LogMelFilterBank(nn.Module):
             x = jnp.pad(x, ((0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
         frames = frame_signal(x, n_fft, self.hop_size) * win_full[None, None, :]
         spec = jnp.fft.rfft(frames, axis=-1)
-        amplitude = jnp.sqrt(spec.real**2 + spec.imag**2)
+        # tiny eps inside the sqrt: at exactly-zero bins (zero-padded raw
+        # frames) d(sqrt)/dx is otherwise inf and the window/gain params get
+        # NaN gradients on the first step.  1e-24 keeps the amplitude of
+        # silent bins (~1e-12) far below the mel clamp eps (1e-10), so
+        # forward values stay bit-comparable to the reference.
+        amplitude = jnp.sqrt(spec.real**2 + spec.imag**2 + 1e-24)
 
         fmin = 0.0 if self.fmin is None else self.fmin
         fmax = self.fs / 2 if self.fmax is None else self.fmax

@@ -34,6 +34,10 @@ def _causal_trim(x, y, mask, causal_size: int):
         y = y[:, cs:]
         x = x[:, :-cs]
         if mask is not None:
+            # NOTE: trimming the mask from the END here means the last |cs|
+            # valid frames pair with zero padding — this mirrors the
+            # reference exactly (crank/net/module/loss.py:38-42) and is
+            # kept for bit-parity rather than "fixed"
             mask = mask[:, :-cs]
     return x, y, mask
 
