@@ -33,7 +33,8 @@ def calculate(cv_path, gt_file_list, conf, spkr_conf):
 
     gt_mcep = read_feature(gt_file_list[f"{tarspk}_{number}"], "mcep")
     gt_f0 = read_feature(gt_file_list[f"{tarspk}_{number}"], "f0")
-    return f"{orgspk}-{tarspk}-{number}", mcd(cv_mcep, cv_f0, gt_mcep, gt_f0)
+    # tuple key: speaker names / uids may themselves contain '-' (JVS)
+    return (orgspk, tarspk, number), mcd(cv_mcep, cv_f0, gt_mcep, gt_f0)
 
 
 def main():

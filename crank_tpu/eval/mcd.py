@@ -36,9 +36,10 @@ def get_world_mcep(wavpath, conf, spkr_conf):
 
 def mcd(cv_mcep, cv_f0, gt_mcep, gt_f0):
     """Voiced-only DTW-aligned mel-cepstral distortion in dB
-    (evaluate_mcd.py:64-77; the 0th coefficient is excluded upstream by the
-    caller passing mcep[:, 1:] when use_mcep_0th is false — here full arrays
-    are compared, matching the reference's use of the stored mcep)."""
+    (evaluate_mcd.py:64-77).  The arrays are compared as stored — INCLUDING
+    the 0th (power) coefficient: the reference's sprocket mcep returns
+    c0..c_dim and its MCD runs on the full array, so published numbers are
+    only comparable with the same convention (textbook MCD would drop c0)."""
     cv_f0 = np.asarray(cv_f0).reshape(-1)
     gt_f0 = np.asarray(gt_f0).reshape(-1)
     cv = np.asarray(cv_mcep)[cv_f0 > 0]
@@ -51,10 +52,13 @@ def mcd(cv_mcep, cv_f0, gt_mcep, gt_f0):
 
 
 def summarize_pairwise(results):
-    """results: list of (f"{org}-{tar}-{number}", mcd) -> {"org tar": mean}."""
+    """results: list of ((org, tar, number), mcd) -> {"org tar": mean}.
+
+    Keys are tuples, not joined strings — speaker names and uids may
+    contain '-' themselves (utils/naming.py contract).
+    """
     pairwise = {}
-    for k, v in results:
-        org, tar, _ = k.split("-")
+    for (org, tar, _), v in results:
         pairwise.setdefault(f"{org} {tar}", []).append(v)
     return {
         k: float(np.mean(v)) for k, v in sorted(pairwise.items())

@@ -96,11 +96,16 @@ class MOSNetPredictor:
 
     def predict_wav(self, x, fs):
         if fs != FS:
-            # linear resample to 16 kHz (MOSnet's expected rate)
-            n_out = int(len(x) * FS / fs)
-            x = np.interp(
-                np.linspace(0, len(x) - 1, n_out), np.arange(len(x)), x
-            )
+            # polyphase resample to 16 kHz (MOSnet's expected rate) — a
+            # plain linear interp would alias 8-11 kHz content into the
+            # scored band and bias MOS vs the reference's librosa path
+            from fractions import Fraction
+
+            from scipy.signal import resample_poly
+
+            fr = Fraction(FS, int(fs)).limit_denominator(1000)
+            x = resample_poly(np.asarray(x, np.float64), fr.numerator,
+                              fr.denominator)
         mag = np.abs(stft_np(x, n_fft=FFTL, hop_size=HOP, window="hann"))
         # time bucketing bounds recompiles; the true frame count is passed so
         # padding cannot bias the score (masked mean + seq_lengths reverse)

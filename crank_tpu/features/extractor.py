@@ -43,7 +43,12 @@ class FeatureExtractor:
         if synth_flag:
             self._mlfb2wavf(flbl, feats)
         self._analyze_world(x, feats)
-        if synth_flag and self.conf["fftl"] != 256 and self.conf["fs"] != 8000:
+        # the mcep presence check fixes a latent reference crash: at e.g.
+        # fs=16000 the reference's synth gate (fs != 8000, feature.py:51)
+        # passes while its mcep gate (fs > 16000, :92) does not, and
+        # synthesis then KeyErrors on the missing mcep
+        if (synth_flag and self.conf["fftl"] != 256
+                and self.conf["fs"] != 8000 and "mcep" in feats):
             self._synthesize_world(flbl, feats)
         write_features(h5f, feats)
         return h5f

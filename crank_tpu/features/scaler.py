@@ -21,7 +21,10 @@ class StandardScaler:
 
     @property
     def scale_(self):
-        return np.sqrt(self.var_)
+        # sklearn semantics: zero-variance dimensions scale by 1 instead of
+        # dividing by 0 (constant mlfb bins on silence-heavy corpora)
+        s = np.sqrt(self.var_)
+        return np.where(s == 0.0, 1.0, s)
 
     def partial_fit(self, X):
         X = np.asarray(X, dtype=np.float64)
@@ -67,6 +70,8 @@ def fit_scalers(feats_files, conf, spk2utt=None, featsscp=None, read_feature=Non
     for win_type in conf["feature"]["window_types"]:
         if win_type != "hann":
             exts.append(f"mlfb_{win_type}")
+    import logging
+
     for ext in exts:
         s = StandardScaler()
         for h5f in feats_files:
@@ -74,6 +79,15 @@ def fit_scalers(feats_files, conf, spk2utt=None, featsscp=None, read_feature=Non
                 s.partial_fit(read_feature(h5f, ext))
             except KeyError:
                 pass
+        if s.n_samples_seen_ == 0:
+            # keep the failure visible and early: an unfit scaler pickled
+            # here would surface much later as NoneType arithmetic inside
+            # transform() during training
+            logging.warning(
+                "scaler %r saw no samples (feature absent from every h5) "
+                "— omitted from scaler.pkl", ext,
+            )
+            continue
         scaler[ext] = s
     if spk2utt and featsscp:
         for spkr, uids in spk2utt.items():

@@ -252,16 +252,15 @@ def diff2wav(x, diffmcep, rmcep=None, fs=22050, fftl=1024, shiftms=5.0,
     conv_n = 1
     while conv_n < seg + fftl:
         conv_n <<= 1
+    # loop-invariant interpolation grids (frame filter -> conv grid)
+    src = np.arange(half) * (fs / fftl)
+    dst = np.arange(conv_n // 2 + 1) * (fs / conv_n)
     for t in range(n_frames):
         start = t * hop
         frame = np.zeros(conv_n)
         chunk = x[start : start + seg]
         frame[: len(chunk)] = chunk * win[: len(chunk)]
         spec = np.fft.rfft(frame)
-        h_full = np.zeros(conv_n // 2 + 1, dtype=complex)
-        # interpolate frame filter onto the conv grid
-        src = np.arange(half) * (fs / fftl)
-        dst = np.arange(conv_n // 2 + 1) * (fs / conv_n)
         h_full = np.interp(dst, src, H[t].real) + 1j * np.interp(
             dst, src, H[t].imag
         )
