@@ -63,8 +63,12 @@ class Trainer:
         self.n_cv_spkrs = min(4, self.n_spkrs)
         self.n_dev_samples = 5
 
-        self.steps = int(resume)
-        self.resume_steps = int(resume)
+        # a checkpoint labeled S contains the update executed at counter S,
+        # so a resumed run continues at S+1 (re-running S would double-apply
+        # one optimizer update per segment)
+        self.steps = int(resume) + 1 if resume else 0
+        self.resume_steps = self.steps
+        self._last_saved_steps = None
         self.finish_train = False
         self.hit_memory_watchdog = False
         from concurrent.futures import ThreadPoolExecutor
@@ -96,6 +100,10 @@ class Trainer:
         n_data = self.mesh.shape["data"]
         global_pad = -(-dataloaders["batch_size"] // n_data) * n_data
         self.pad_batch_size = global_pad // jax.process_count()
+        if conf["use_cyclic_training"] and not conf["use_spkr_classifier"]:
+            raise ValueError(
+                "use_cyclic_training requires use_spkr_classifier to be true"
+            )
 
     # --------------------------- phase flags ---------------------------- #
 
@@ -115,10 +123,6 @@ class Trainer:
             conf["use_cyclic_training"]
             and self.steps > conf["n_steps_cycle_start"]
         )
-        if conf["use_cyclic_training"] and not conf["use_spkr_classifier"]:
-            raise ValueError(
-                "use_cyclic_training requires use_spkr_classifier to be true"
-            )
         return Mode(
             trainer_type=self.trainer_type,
             gan_flag=gan_flag,
@@ -130,9 +134,35 @@ class Trainer:
     # ----------------------------- main loop ---------------------------- #
 
     def run(self, flag="train", tdir=None):
+        if flag != "train" and self.resume_steps:
+            # decode/reconstruction outputs are labeled by the checkpoint's
+            # step (eval_wav/<N>), not the would-be next training counter
+            self.steps = self.resume_steps - 1
         if flag == "train":
+            n_data = self.mesh.shape["data"]
+            if self.dataloaders["batch_size"] % n_data:
+                raise ValueError(
+                    f"batch_size {self.dataloaders['batch_size']} must be a "
+                    f"multiple of the {n_data}-device data-parallel axis for "
+                    "training (eval/reconstruction pad automatically; "
+                    "training would bias gradients by repeating samples) — "
+                    "adjust batch_size in the conf"
+                )
+            if len(self.dataloaders["train"]) == 0:
+                raise ValueError(
+                    "train loader yields zero batches (fewer utterances "
+                    "than batch_size with drop_last) — reduce batch_size "
+                    "or add data"
+                )
             while not self.finish_train:
                 self._tr_epoch()
+            # final checkpoint: the last executed step may be off the save
+            # cadence (n_steps not a multiple of n_steps_save_model), and
+            # run.py points stages 4-7 at eval_wav/<n_steps>.  (On a
+            # watchdog exit the counter was not yet incremented and the
+            # watchdog already saved at it.)
+            if not self.hit_memory_watchdog:
+                self.save_model(steps=self.steps - 1)
             self._drain_io()
             wait_pending()  # async checkpoint writer must land before exit
             logging.info("Finish training")
@@ -483,11 +513,16 @@ class Trainer:
 
     # ---------------------------- bookkeeping --------------------------- #
 
-    def save_model(self):
+    def save_model(self, steps=None):
         if jax.process_index() != 0:
             return  # one writer per cluster; params/opt are replicated
+        label = self.steps if steps is None else steps
+        if label == self._last_saved_steps or label < 0:
+            return  # already checkpointed at this step (e.g. watchdog +
+            #         final save), or nothing executed yet
+        self._last_saved_steps = label
         state = {
-            "steps": self.steps,
+            "steps": label,
             "params": self.state["params"],
             "ema": self.state["ema"],
             "opt": self.state["opt"],
