@@ -70,27 +70,34 @@ def _glottal_pulse_train(f0_track, fs, rng):
     return sps.lfilter(b, a, exc)
 
 
-def synth_utterance(rng, base_f0, f0_sd_oct, vtl, breath, fs, duration):
+def synth_utterance(crng, srng, base_f0, f0_sd_oct, vtl, breath, fs,
+                    duration):
+    """crng drives CONTENT (phrase structure, phone identities, durations,
+    pauses) and srng drives SPEAKER rendering (F0 perturbations, vibrato,
+    jitter, breath, formant scatter).  Seeding crng by utterance index only
+    makes the corpus parallel across speakers (same 'sentence' per number),
+    which cross-speaker MCD evaluation assumes (VCC corpora are parallel).
+    """
     n = int(fs * duration)
     x = np.zeros(n)
     t = 0
-    utt_f0 = base_f0 * 2.0 ** (f0_sd_oct * rng.standard_normal() * 0.5)
-    phrase_decl = rng.uniform(0.1, 0.25)  # octaves of declination per phrase
+    utt_f0 = base_f0 * 2.0 ** (f0_sd_oct * srng.standard_normal() * 0.5)
+    phrase_decl = crng.uniform(0.1, 0.25)  # octaves of declination per phrase
     phrase_start = t
-    phrase_len = int(fs * rng.uniform(0.8, 1.6))
+    phrase_len = int(fs * crng.uniform(0.8, 1.6))
     vowel_keys = list(VOWELS)
     while t < n - int(0.15 * fs):
         if t - phrase_start > phrase_len:  # phrase break
-            t += int(fs * rng.uniform(0.12, 0.3))
+            t += int(fs * crng.uniform(0.12, 0.3))
             phrase_start = t
-            phrase_len = int(fs * rng.uniform(0.8, 1.6))
+            phrase_len = int(fs * crng.uniform(0.8, 1.6))
             continue
         # optional fricative onset: shaped noise burst
-        if rng.random() < 0.45:
-            flen = int(fs * rng.uniform(0.03, 0.09))
+        if crng.random() < 0.45:
+            flen = int(fs * crng.uniform(0.03, 0.09))
             flen = min(flen, n - t)
-            noise = rng.standard_normal(flen)
-            fc = rng.uniform(2500, 6000)
+            noise = srng.standard_normal(flen)
+            fc = crng.uniform(2500, 6000)
             b, a = sps.butter(2, min(fc / (fs / 2), 0.95), "highpass")
             burst = sps.lfilter(b, a, noise)
             burst /= max(np.sqrt(np.mean(burst ** 2)), 1e-9)
@@ -98,21 +105,21 @@ def synth_utterance(rng, base_f0, f0_sd_oct, vtl, breath, fs, duration):
             x[t:t + flen] += 0.05 * burst * env
             t += flen
         # vowel nucleus
-        vlen = int(fs * rng.uniform(0.10, 0.24))
+        vlen = int(fs * crng.uniform(0.10, 0.24))
         vlen = min(vlen, n - t)
         if vlen < int(0.04 * fs):
             break
         tt = np.arange(vlen) / fs
         pos_in_phrase = (t - phrase_start) / max(phrase_len, 1)
         f0c = (utt_f0 * 2.0 ** (-phrase_decl * pos_in_phrase)
-               * 2.0 ** (f0_sd_oct * 0.4 * rng.standard_normal()))
-        vib = 1.0 + 0.015 * np.sin(2 * np.pi * rng.uniform(4.5, 6.5) * tt)
+               * 2.0 ** (f0_sd_oct * 0.4 * srng.standard_normal()))
+        vib = 1.0 + 0.015 * np.sin(2 * np.pi * srng.uniform(4.5, 6.5) * tt)
         f0_track = np.clip(f0c * vib, 40.0, 0.45 * fs)
-        src = _glottal_pulse_train(f0_track, fs, rng)
-        src += breath * rng.standard_normal(vlen)
-        formants = np.asarray(VOWELS[rng.choice(vowel_keys)]) / vtl
+        src = _glottal_pulse_train(f0_track, fs, srng)
+        src += breath * srng.standard_normal(vlen)
+        formants = np.asarray(VOWELS[crng.choice(vowel_keys)]) / vtl
         # small random formant perturbation per token (coarticulation-ish)
-        formants *= 1.0 + 0.04 * rng.standard_normal(3)
+        formants *= 1.0 + 0.04 * srng.standard_normal(3)
         v = _formant_filter(src, formants, fs)
         v /= max(np.sqrt(np.mean(v ** 2)), 1e-9)  # resonators eat gain
         ramp = max(min(int(0.02 * fs), vlen // 2), 1)
@@ -120,10 +127,10 @@ def synth_utterance(rng, base_f0, f0_sd_oct, vtl, breath, fs, duration):
         amp_env = np.ones(vlen)
         amp_env[:ramp] = half[:ramp]
         amp_env[vlen - ramp:] = half[ramp:]
-        x[t:t + vlen] += 0.15 * v * amp_env * rng.uniform(0.7, 1.0)
-        t += vlen + int(fs * rng.uniform(0.0, 0.04))
+        x[t:t + vlen] += 0.15 * v * amp_env * srng.uniform(0.7, 1.0)
+        t += vlen + int(fs * crng.uniform(0.0, 0.04))
     # room/recording floor
-    x += 1.5e-4 * rng.standard_normal(n)
+    x += 1.5e-4 * srng.standard_normal(n)
     peak = np.abs(x).max()
     return (0.6 * x / peak if peak > 0 else x).astype(np.float64)
 
@@ -147,10 +154,14 @@ def main():
         outdir = args.outdir / name
         outdir.mkdir(parents=True, exist_ok=True)
         for i in range(args.n_utterances):
-            rng = np.random.default_rng(
-                args.seed + 1000 * s_idx + i)  # per-utt determinism
-            dur = args.duration * (0.8 + 0.4 * rng.random())
-            x = synth_utterance(rng, f0, sd, vtl, breath, args.fs, dur)
+            # content keyed by utterance number only -> parallel corpus;
+            # speaker stream keyed by (speaker, utterance)
+            crng = np.random.default_rng(args.seed + i)
+            srng = np.random.default_rng(
+                args.seed + 7919 * (s_idx + 1) + i)
+            dur = args.duration * (0.8 + 0.4 * crng.random())
+            x = synth_utterance(crng, srng, f0, sd, vtl, breath, args.fs,
+                                dur)
             write_wav(outdir / f"{10001 + i}.wav", x, args.fs)
         print(f"{name}: {args.n_utterances} utterances")
 
