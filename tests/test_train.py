@@ -382,3 +382,37 @@ def test_checkpoint_atomic_and_async(tmp_path):
     state["steps"] = 12
     save_checkpoint(tmp_path, state)
     assert find_latest_checkpoint(tmp_path).name == "checkpoint_12steps.pkl"
+
+
+def test_trainer_final_checkpoint_and_resume(tmp_path, corpus):
+    """Off-cadence n_steps still writes a final checkpoint; resume
+    continues at checkpoint step + 1 (no double-applied update)."""
+    conf = make_conf(n_steps=5, dev_steps=100, n_steps_save_model=3)
+    models = build_models(conf, spkr_size=len(SPKRS))
+    params, ema = init_models(models, conf, len(SPKRS),
+                              jax.random.PRNGKey(0), B=2, T=BATCH_LEN)
+    opts = make_optimizers(conf, list(models.keys()))
+    state = {"params": params, "ema": ema,
+             "opt": {m: opts[m].init(params[m]) for m in models}}
+    loaders = get_dataloaders(conf, corpus["scp"], corpus["scaler"],
+                              flag="train")
+    tr = Trainer(models, opts, conf, loaders, corpus["scaler"],
+                 expdir=tmp_path, init_state=state, mesh=get_mesh())
+    tr.run("train")
+    names = sorted(p.name for p in tmp_path.glob("checkpoint_*steps.pkl"))
+    # cadence saves at 3 plus the final off-cadence save at n_steps
+    assert "checkpoint_3steps.pkl" in names
+    assert "checkpoint_5steps.pkl" in names
+
+    payload = load_checkpoint(tmp_path / "checkpoint_3steps.pkl")
+    state2 = {k: payload[k] for k in ("params", "ema", "opt")}
+    loaders2 = get_dataloaders(conf, corpus["scp"], corpus["scaler"],
+                               flag="train")
+    tr2 = Trainer(models, opts, conf, loaders2, corpus["scaler"],
+                  expdir=tmp_path / "resumed", init_state=state2,
+                  mesh=get_mesh(), resume=payload["steps"],
+                  rng_key=payload["rng"])
+    assert tr2.steps == 4  # checkpoint step already executed
+    tr2.run("train")
+    assert tr2.steps == conf["n_steps"] + 1
+    assert (tmp_path / "resumed" / "checkpoint_5steps.pkl").exists()
