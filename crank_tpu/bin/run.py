@@ -45,6 +45,40 @@ def run_cmd(cmd, log, launcher="", env=None, ok_codes=(0,)):
     return ret.returncode
 
 
+def run_array(cmd_for_job, log_for_job, n, launcher="", env=None,
+              ok_codes=(0,)):
+    """Array-job dispatch (utils/run.pl JOB=1:N role): launch ``n``
+    concurrent jobs, one log each (log.1 .. log.n naming), join barrier,
+    fail if any job fails.  A literal ``JOB`` in the launcher string is
+    substituted with the job index (ssh.pl-style per-host dispatch, e.g.
+    ``--launcher "ssh workerJOB"``)."""
+    procs = []
+    for j in range(1, n + 1):
+        cmd = [str(c) for c in cmd_for_job(j)]
+        if launcher:
+            cmd = shlex.split(launcher.replace("JOB", str(j))) + cmd
+        log = Path(log_for_job(j))
+        log.parent.mkdir(parents=True, exist_ok=True)
+        print(f"[run:{j}/{n}] {' '.join(cmd)} (log: {log})", flush=True)
+        fp = open(log, "w")
+        procs.append(
+            (subprocess.Popen(cmd, stdout=fp, stderr=subprocess.STDOUT,
+                              env=env), log, fp)
+        )
+    failed = []
+    for p, log, fp in procs:
+        code = p.wait()
+        fp.close()
+        if code not in ok_codes:
+            failed.append(log)
+    if failed:
+        for log in failed:
+            print(open(log).read()[-2000:], file=sys.stderr)
+        raise SystemExit(
+            f"{len(failed)}/{n} array jobs failed (see {failed})"
+        )
+
+
 def main():
     parser = argparse.ArgumentParser(description="crank-tpu recipe runner")
     parser.add_argument("--recipe", type=str, required=True,
@@ -65,7 +99,13 @@ def main():
     parser.add_argument("--eval_utterances", type=int, default=5)
     parser.add_argument("--eval_speakers", type=str, nargs="*", default=[""])
     parser.add_argument("--launcher", type=str, default="",
-                        help="command prefix for cluster dispatch")
+                        help="command prefix for cluster dispatch; a "
+                             "literal JOB is replaced by the array-job "
+                             "index in fan-out stages")
+    parser.add_argument("--n_parallel_jobs", type=int, default=1,
+                        help="array-job fan-out width for per-utterance "
+                             "stages (2: feature extraction, 7: MCD) — "
+                             "the JOB=1:N role of utils/run.pl")
     parser.add_argument("--mosnet_weights", type=str, default=None)
     args = parser.parse_args()
 
@@ -143,14 +183,24 @@ def main():
 
     if stage_in(2):
         print("stage 2: feature extraction and statistics")
+        npar = args.n_parallel_jobs
         for phase in ("train", "dev", "eval"):
-            run_cmd(
-                py + ["crank_tpu.bin.extract_feature",
-                      "--n_jobs", args.n_jobs, "--phase", phase,
-                      "--conf", conf, "--spkr_yml", spkr_yml,
-                      "--scpdir", scpdir, "--featdir", featdir],
-                logdir / f"extract_feature_{phase}.log", L, env,
-            )
+            base = py + ["crank_tpu.bin.extract_feature",
+                         "--n_jobs", args.n_jobs, "--phase", phase,
+                         "--conf", conf, "--spkr_yml", spkr_yml,
+                         "--scpdir", scpdir, "--featdir", featdir]
+            if npar > 1:
+                run_array(
+                    lambda j, base=base: base + ["--job_index", j,
+                                                 "--n_splits", npar],
+                    lambda j, phase=phase: (
+                        logdir / f"extract_feature_{phase}.log.{j}"
+                    ),
+                    npar, L, env,
+                )
+            else:
+                run_cmd(base, logdir / f"extract_feature_{phase}.log",
+                        L, env)
         run_cmd(
             py + ["crank_tpu.bin.extract_statistics",
                   "--n_jobs", args.n_jobs, "--phase", "train",
@@ -313,13 +363,26 @@ def main():
 
     if stage_in(7):
         print("stage 7: evaluation")
-        run_cmd(
-            py + ["crank_tpu.bin.evaluate_mcd", "--conf", conf,
-                  "--n_jobs", args.n_jobs, "--spkr_conf", spkr_yml,
-                  "--outwavdir", outdir / "wav", "--featdir", featdir,
-                  "--out", outdir / "mcd.log"],
-            outdir / "mcd_run.log", L, env,
-        )
+        mcd_base = py + ["crank_tpu.bin.evaluate_mcd", "--conf", conf,
+                         "--n_jobs", args.n_jobs, "--spkr_conf", spkr_yml,
+                         "--outwavdir", outdir / "wav", "--featdir", featdir]
+        npar = args.n_parallel_jobs
+        if npar > 1:
+            run_array(
+                lambda j: mcd_base + ["--job_index", j, "--n_splits", npar,
+                                      "--out", outdir / f"mcd_utt.log.{j}"],
+                lambda j: outdir / f"mcd_run.log.{j}",
+                npar, L, env,
+            )
+            run_cmd(
+                mcd_base + ["--merge_from"]
+                + [outdir / f"mcd_utt.log.{j}" for j in range(1, npar + 1)]
+                + ["--out", outdir / "mcd.log"],
+                outdir / "mcd_merge.log", L, env,
+            )
+        else:
+            run_cmd(mcd_base + ["--out", outdir / "mcd.log"],
+                    outdir / "mcd_run.log", L, env)
         mos_cmd = py + ["crank_tpu.bin.evaluate_mosnet",
                         "--outwavdir", outdir / "wav",
                         "--out", outdir / "mosnet.log"]

@@ -51,13 +51,16 @@ class ResidualDiscriminator(nn.Module):
     skip_channels: int = 64
     dropout: float = 0.0
     weight_norm: bool = True
+    # upstream ResidualParallelWaveGANDiscriminator default nonlinearity is
+    # LeakyReLU(0.2) (round-3 parity fix; was relu)
+    negative_slope: float = 0.2
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         layers_per_stack = self.layers // self.stacks
         x = Conv1d(self.residual_channels, 1, weight_norm=self.weight_norm,
                    name="first_conv")(x)
-        x = nn.relu(x)
+        x = nn.leaky_relu(x, self.negative_slope)
         skips = 0.0
         for i in range(self.layers):
             x, skip = ResidualBlock(
@@ -72,10 +75,10 @@ class ResidualDiscriminator(nn.Module):
             )(x, None, deterministic=deterministic)
             skips = skips + skip
         skips = skips * jnp.sqrt(1.0 / self.layers).astype(skips.dtype)
-        y = nn.relu(skips)
+        y = nn.leaky_relu(skips, self.negative_slope)
         y = Conv1d(self.skip_channels, 1, weight_norm=self.weight_norm,
                    name="post_conv1")(y)
-        y = nn.relu(y)
+        y = nn.leaky_relu(y, self.negative_slope)
         y = Conv1d(self.out_channels, 1, weight_norm=self.weight_norm,
                    name="post_conv2")(y)
         return y

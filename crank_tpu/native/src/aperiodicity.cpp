@@ -20,16 +20,63 @@ extern "C" int crank_n_aperiodicities(int fs) {
   return std::max(1, (int)(upper / 3000.0));
 }
 
+static double band_ncc(const std::vector<cplx>& s, int n, int center,
+                       int lag) {
+  // Complex (analytic-signal) NCC magnitude over a +/- 2-period support
+  // around the frame center.  Unwindowed — a Hann window here would cap
+  // NCC below 1 for perfectly periodic signals — and complex so that the
+  // carrier phase drops out of |corr|: a true period of fs/f0 is rarely
+  // an integer, and at a 6 kHz band center a half-sample lag error alone
+  // would destroy a REAL correlation (cos(2*pi*6000*0.5/fs) ~ 0.3) while
+  // the analytic envelope barely moves.
+  const int L = 2 * lag;
+  int j0 = std::max(0, center - L);
+  int j1 = std::min(n - lag, center + L);
+  cplx num(0.0, 0.0);
+  double e1 = 0.0, e2 = 0.0;
+  for (int j = j0; j < j1; j++) {
+    num += s[j] * std::conj(s[j + lag]);
+    e1 += std::norm(s[j]);
+    e2 += std::norm(s[j + lag]);
+  }
+  if (e1 <= 1e-30 || e2 <= 1e-30) return 0.0;
+  return std::abs(num) / std::sqrt(e1 * e2);
+}
+
 extern "C" int crank_band_aperiodicity(const double* x, int n, int fs,
                                        const double* f0, int n_frames,
                                        double shiftms, int fftl,
                                        double* ap_coarse /* [n_frames*n_bands] */) {
   const int n_bands = crank_n_aperiodicities(fs);
   const int hop = (int)std::round(shiftms / 1000.0 * fs);
-  const int half = fftl / 2 + 1;
-  std::vector<double> frame(fftl);
-  std::vector<cplx> spec(half);
-  std::vector<double> band(fftl);
+  (void)fftl;
+
+  // Band-split the WHOLE signal once per band (full-length FFT masking):
+  // per-frame windowed band analysis would (a) bias NCC via the window's
+  // own autocorrelation decay and (b) smear band edges.  Bands are
+  // centered at 3000*(b+1) Hz, the WORLD coarse-ap grid that
+  // code/decode_aperiodicity interpolate on.
+  size_t N = 1;
+  while (N < (size_t)n) N <<= 1;
+  std::vector<double> xp(N, 0.0);
+  std::copy(x, x + n, xp.begin());
+  std::vector<cplx> X;
+  rfft(xp.data(), (int)N, X);
+  const int halfN = (int)N / 2 + 1;
+  // analytic band signals: one-sided masked spectrum, full complex iFFT
+  std::vector<std::vector<cplx>> bands(n_bands);
+  for (int b = 0; b < n_bands; b++) {
+    const double center_hz = 3000.0 * (b + 1);
+    const double lo_hz = (b == 0) ? 0.0 : center_hz - 1500.0;
+    const double hi_hz =
+        (b == n_bands - 1) ? fs / 2.0 : center_hz + 1500.0;
+    const int lo = (int)(lo_hz / fs * (double)N);
+    const int hi = std::min(halfN - 1, (int)(hi_hz / fs * (double)N));
+    std::vector<cplx> masked(N, cplx(0.0, 0.0));
+    for (int i = lo; i <= hi; i++) masked[i] = X[i];
+    fft_inplace(masked, true);
+    bands[b] = std::move(masked);
+  }
 
   for (int t = 0; t < n_frames; t++) {
     const double cur_f0 = f0[t];
@@ -40,40 +87,15 @@ extern "C" int crank_band_aperiodicity(const double* x, int n, int fs,
       continue;
     }
     const int center = t * hop;
-    // window ~ 2 periods + band analysis via FFT masking
-    int win = std::min(fftl, (int)(4.0 * fs / cur_f0));
-    std::fill(frame.begin(), frame.end(), 0.0);
-    for (int j = 0; j < win; j++) {
-      const int k = center + j - win / 2;
-      const double w = 0.5 - 0.5 * std::cos(2.0 * M_PI * j / (win - 1.0));
-      if (k >= 0 && k < n) frame[j] = x[k] * w;
-    }
-    std::vector<cplx> full;
-    rfft(frame.data(), fftl, full);
-
-    const int lag = (int)std::round((double)fs / cur_f0);
+    const int lag0 = std::max(2, (int)std::round((double)fs / cur_f0));
     for (int b = 0; b < n_bands; b++) {
-      const double lo_hz = 3000.0 * b;
-      const double hi_hz = 3000.0 * (b + 1);
-      const int lo = (int)(lo_hz / fs * fftl);
-      const int hi = std::min(half - 1, (int)(hi_hz / fs * fftl));
-      // band-pass via spectral masking
-      std::vector<cplx> masked(half, cplx(0.0, 0.0));
-      for (int i = lo; i <= hi; i++) masked[i] = full[i];
-      irfft(masked, fftl, band);
-      // normalized autocorrelation at T0 lag
-      double num = 0.0, e1 = 0.0, e2 = 0.0;
-      const int m = fftl - lag;
-      for (int j = 0; j < m; j++) {
-        num += band[j] * band[j + lag];
-        e1 += band[j] * band[j];
-        e2 += band[j + lag] * band[j + lag];
-      }
-      double ncc = (e1 > 1e-30 && e2 > 1e-30)
-                       ? num / std::sqrt(e1 * e2)
-                       : 0.0;
-      ncc = std::max(0.0, std::min(1.0, ncc));
-      const double ap = std::sqrt(std::max(1e-12, 1.0 - ncc));
+      // lag search +/- 1 sample absorbs F0-estimate rounding; the
+      // sub-sample remainder is already handled by the complex NCC
+      double best = 0.0;
+      for (int lag = lag0 - 1; lag <= lag0 + 1; lag++)
+        best = std::max(best, band_ncc(bands[b], n, center, lag));
+      best = std::max(0.0, std::min(1.0, best));
+      const double ap = std::sqrt(std::max(1e-12, 1.0 - best));
       // store in dB-like log domain (WORLD codes coarse ap in dB)
       ap_coarse[(size_t)t * n_bands + b] =
           20.0 * std::log10(std::max(ap, 1e-6));

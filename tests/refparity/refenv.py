@@ -1,0 +1,155 @@
+"""Import the reference implementation with missing pip deps shimmed.
+
+The reference at /root/reference imports several packages that are absent in
+this environment (parallel_wavegan, librosa, soundfile, sprocket,
+torch_optimizer, pytorch_lamb).  Only ``parallel_wavegan`` is load-bearing
+for the numerical-parity tests — it is provided by ``pwg_torch``; the rest
+are import-time-only stubs (their symbols are never executed by the parity
+paths: losses, models, quantizer EMA).
+
+Torch 2.x compatibility patches applied (the reference targets torch 1.x):
+* ``torch.stft(..., return_complex=False)`` was removed — wrapped to call the
+  complex API and ``view_as_real`` (bit-identical output layout).
+* ``torch.nn.utils.clip_grad_norm`` (non-underscore alias) may be absent —
+  aliased to ``clip_grad_norm_``.
+"""
+
+import sys
+import types
+
+REFERENCE_ROOT = "/root/reference"
+
+_loaded = {}
+
+
+def _stub_module(name, **attrs):
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+def _patch_torch():
+    import torch
+
+    if not getattr(torch.stft, "_refparity_patched", False):
+        _orig_stft = torch.stft
+
+        def stft_compat(*args, **kwargs):
+            if kwargs.get("return_complex") is False:
+                kwargs["return_complex"] = True
+                return torch.view_as_real(_orig_stft(*args, **kwargs))
+            return _orig_stft(*args, **kwargs)
+
+        stft_compat._refparity_patched = True
+        torch.stft = stft_compat
+
+    import torch.nn.utils as tnu
+
+    if not hasattr(tnu, "clip_grad_norm"):
+        tnu.clip_grad_norm = tnu.clip_grad_norm_
+
+
+def load_reference():
+    """Import and return the reference ``crank`` package (cached)."""
+    if "crank" in _loaded:
+        return _loaded["crank"]
+
+    _patch_torch()
+
+    from . import pwg_torch
+
+    # parallel_wavegan shim backed by our first-party torch implementation
+    pwg = _stub_module("parallel_wavegan")
+    pwg_models = _stub_module(
+        "parallel_wavegan.models",
+        ParallelWaveGANGenerator=pwg_torch.ParallelWaveGANGenerator,
+        ParallelWaveGANDiscriminator=pwg_torch.ParallelWaveGANDiscriminator,
+        ResidualParallelWaveGANDiscriminator=(
+            pwg_torch.ResidualParallelWaveGANDiscriminator
+        ),
+    )
+    pwg.models = pwg_models
+
+    # import-time-only stubs (never executed by the parity tests)
+    if "librosa" not in sys.modules:
+        lr = _stub_module("librosa")
+        lr.filters = _stub_module("librosa.filters", mel=None)
+        lr.util = _stub_module("librosa.util")
+    if "soundfile" not in sys.modules:
+        _stub_module("soundfile", read=None, write=None)
+    if "sprocket" not in sys.modules:
+        sp = _stub_module("sprocket")
+        sp.speech = _stub_module(
+            "sprocket.speech", FeatureExtractor=None, Synthesizer=None
+        )
+        sp.util = _stub_module("sprocket.util", HDF5=None)
+    if "torch_optimizer" not in sys.modules:
+        _stub_module("torch_optimizer", RAdam=None)
+    if "pytorch_lamb" not in sys.modules:
+        _stub_module("pytorch_lamb", Lamb=None)
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import crank  # noqa: F401
+    import crank.net.module.loss  # noqa: F401
+    import crank.net.module.spkradv  # noqa: F401
+    import crank.net.module.vqvae2  # noqa: F401
+    import crank.net.trainer.trainer_vqvae  # noqa: F401
+
+    _loaded["crank"] = crank
+    return crank
+
+
+def make_ref_criterion(conf):
+    """The reference criterion dict (crank/net/trainer/utils.py:22-37),
+    built directly from the reference loss module on CPU."""
+    import torch.nn as nn
+
+    load_reference()
+    from crank.net.module.loss import CustomFeatureLoss
+
+    return {
+        "mse": nn.MSELoss(),
+        "l1": nn.L1Loss(),
+        "ce": nn.CrossEntropyLoss(ignore_index=-100),
+        "fmse": CustomFeatureLoss(
+            loss_type="mse", causal=conf["causal"], device="cpu"
+        ),
+        "fl1": CustomFeatureLoss(
+            loss_type="l1", causal=conf["causal"], device="cpu"
+        ),
+        "fstft": CustomFeatureLoss(
+            loss_type="stft",
+            causal=conf["causal"],
+            stft_params=conf["stft_params"],
+            device="cpu",
+        ),
+    }
+
+
+class RefLossHarness:
+    """Duck-typed stand-in for the reference VQVAETrainer, exposing its real
+    unbound loss methods (calculate_vqvae_loss / calculate_spkradv_loss /
+    _parse_vqvae_loss) without constructing the full trainer."""
+
+    def __init__(self, conf, models):
+        load_reference()
+        from crank.net.trainer.trainer_vqvae import VQVAETrainer
+
+        self._cls = VQVAETrainer
+        self.conf = conf
+        self.model = models
+        self.criterion = make_ref_criterion(conf)
+
+    def calculate_vqvae_loss(self, batch, outputs, loss):
+        return self._cls.calculate_vqvae_loss(self, batch, outputs, loss)
+
+    def calculate_spkradv_loss(self, batch, outputs, loss, label="org"):
+        return self._cls.calculate_spkradv_loss(
+            self, batch, outputs, loss, label=label
+        )
+
+    def _parse_vqvae_loss(self, loss):
+        return self._cls._parse_vqvae_loss(self, loss)

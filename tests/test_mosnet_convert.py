@@ -192,3 +192,61 @@ def test_mosnet_score_length_invariant():
                               lengths=jnp.asarray([40]))
     np.testing.assert_allclose(float(s_padded[0]), float(s_exact[0]),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_converter_vs_real_tensorflow(tmp_path):
+    """VERDICT r2 #8: validate the Keras->flax converter against REAL
+    TensorFlow, not a hand-rolled semantics clone.  Builds the MOSNet
+    CNN-BLSTM in Keras (Lo et al. 2019 architecture), writes its weights in
+    the legacy h5 layout the published checkpoint uses, converts, and
+    compares per-frame scores TF vs flax on the same input."""
+    tf = pytest.importorskip("tensorflow")  # noqa: F841
+    import keras
+    from keras import layers
+    from keras.src.legacy.saving import legacy_h5_format
+
+    keras.utils.set_random_seed(1234)
+    inp = keras.Input(shape=(None, 257))
+    x = layers.Reshape((-1, 257, 1))(inp)
+    for ch in (16, 32, 64, 128):
+        x = layers.Conv2D(ch, (3, 3), strides=(1, 1), activation="relu",
+                          padding="same")(x)
+        x = layers.Conv2D(ch, (3, 3), strides=(1, 1), activation="relu",
+                          padding="same")(x)
+        x = layers.Conv2D(ch, (3, 3), strides=(1, 3), activation="relu",
+                          padding="same")(x)
+    x = layers.Reshape((-1, 4 * 128))(x)
+    x = layers.Bidirectional(layers.LSTM(128, return_sequences=True),
+                             merge_mode="concat")(x)
+    x = layers.TimeDistributed(layers.Dense(128, activation="relu"))(x)
+    frame = layers.TimeDistributed(layers.Dense(1))(x)
+    model = keras.Model(inp, frame)
+
+    rng = np.random.default_rng(77)
+    T = 37
+    mag = np.abs(rng.standard_normal((1, T, 257))).astype(np.float32)
+    frame_tf = np.asarray(model.predict(mag, verbose=0))[0, :, 0]
+
+    h5_path = tmp_path / "mosnet_tf.h5"
+    with h5py.File(h5_path, "w") as fp:
+        legacy_h5_format.save_weights_to_hdf5_group(fp, model)
+
+    flat = convert_mosnet.convert(h5_path)
+
+    import jax.numpy as jnp
+    from flax.traverse_util import unflatten_dict
+
+    from crank_tpu.eval.mosnet import MOSNet
+
+    params = unflatten_dict(
+        {tuple(k.split("/")): jnp.asarray(v) for k, v in flat.items()}
+    )
+    avg, frame_j = MOSNet().apply(
+        {"params": params}, jnp.asarray(mag),
+        lengths=jnp.asarray([T], jnp.int32),
+    )
+    frame_j = np.asarray(frame_j)[0]
+    err = float(np.max(np.abs(frame_tf - frame_j)))
+    assert err < 1e-4, f"TF vs flax frame-score max err {err}"
+    assert abs(float(np.asarray(avg)[0]) - float(frame_tf.mean())) < 1e-4

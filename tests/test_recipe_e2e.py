@@ -70,13 +70,14 @@ def recipe(tmp_path_factory):
     return root
 
 
-def run_stages(recipe, stage, stop):
+def run_stages(recipe, stage, stop, extra=()):
     cmd = [
         sys.executable, "-m", "crank_tpu.bin.run",
         "--recipe", str(recipe), "--conf", "conf/tiny_vqvae.yml",
         "--stage", str(stage), "--stop_stage", str(stop),
         "--n_jobs", "2", "--voc", "GL",
         "--dev_utterances", "1", "--eval_utterances", "1",
+        *extra,
     ]
     res = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
                          timeout=1500)
@@ -121,3 +122,31 @@ def test_full_recipe(recipe):
         val = float(line.split()[-1])
         assert np.isnan(val) or 0 < val < 500
     assert (outdir / "mosnet.log").exists()
+
+
+@pytest.mark.slow
+def test_array_job_fanout_matches_single_job(recipe):
+    """Stages 2 and 7 with --n_parallel_jobs 2 (the utils/run.pl JOB=1:N
+    role): per-job logs exist, feats.scp is complete, and the merged MCD
+    summary is line-identical to the single-job run from test_full_recipe.
+
+    Runs after test_full_recipe on the module-scoped recipe fixture."""
+    expdir = recipe / "exp/tiny_vqvae"
+    outdir = expdir / "eval_PWG_wav" / "2"
+    single_mcd = (outdir / "mcd.log").read_text()
+    assert single_mcd  # test_full_recipe ran first
+
+    run_stages(recipe, 2, 2, extra=("--n_parallel_jobs", "2"))
+    logdir = recipe / "data/log"
+    for phase in ("train", "dev", "eval"):
+        assert (logdir / f"extract_feature_{phase}.log.1").exists()
+        assert (logdir / f"extract_feature_{phase}.log.2").exists()
+    featdir = recipe / "data/feature/mlfb"
+    assert len((featdir / "train/feats.scp").read_text().splitlines()) == 9
+    assert len(list((featdir / "train").rglob("*.h5"))) == 9
+
+    run_stages(recipe, 7, 7, extra=("--n_parallel_jobs", "2"))
+    assert (outdir / "mcd_utt.log.1").exists()
+    assert (outdir / "mcd_utt.log.2").exists()
+    merged_mcd = (outdir / "mcd.log").read_text()
+    assert merged_mcd == single_mcd
