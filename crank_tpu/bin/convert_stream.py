@@ -163,10 +163,51 @@ def main():
 
     org_lcf0_mean = float(np.asarray(scaler[args.org_spkr]["lcf0"].mean_)[0])
     held_f0 = float(np.exp(org_lcf0_mean))
-    mel_ctx = None  # trailing converted-mel context for per-chunk GL
-    prev_tail = None  # last synthesized samples for the cross-fade
-    out_wavs, out_mels, latencies = [], [], []
+    out_mels, latencies = [], []
     emitted = 0  # frames fed to the converter so far
+
+    # Per-chunk GL synthesis runs on a worker thread so it overlaps the
+    # NEXT chunk's model step (the cross-fade chain serializes synthesis
+    # with itself, not with the converter).  The model path stays the
+    # reported per-chunk latency; the synthesis thread's own duty cycle is
+    # reported as synth_rtf.
+    import queue as _queue
+    import threading
+
+    synth_q = _queue.Queue()
+    synth_state = {"out": [], "busy": 0.0, "backlog_max": 0}
+
+    def _synth_worker():
+        mel_ctx = None  # trailing converted-mel context for per-chunk GL
+        prev_tail = None  # last synthesized samples for the cross-fade
+        while True:
+            item = synth_q.get()
+            if item is None:
+                return
+            r, cv_mel = item
+            tw = time.perf_counter()
+            ctx = (
+                cv_mel
+                if mel_ctx is None
+                else np.concatenate([mel_ctx, cv_mel], axis=0)
+            )
+            n_ctx = ctx.shape[0] - r
+            spc = np.power(10.0, ctx) @ inv_basis.T
+            wav_seg = _gl_numpy(spc, fftl, hop, win, args.gl_iters)
+            seg = wav_seg[n_ctx * hop : (n_ctx + r) * hop].copy()
+            if prev_tail is not None:  # one-hop cross-fade at the boundary
+                ramp = np.linspace(0.0, 1.0, hop)
+                seg[:hop] = (1 - ramp) * prev_tail + ramp * seg[:hop]
+            prev_tail = wav_seg[(n_ctx + r) * hop :][:hop]
+            prev_tail = None if len(prev_tail) < hop else prev_tail
+            synth_state["out"].append(seg)
+            mel_ctx = ctx[-args.gl_ctx_frames :]
+            synth_state["busy"] += time.perf_counter() - tw
+
+    synth_thread = None
+    if args.synth == "gl":
+        synth_thread = threading.Thread(target=_synth_worker, daemon=True)
+        synth_thread.start()
 
     # stream the audio in chunk-sized hops; each iteration simulates the
     # arrival of chunk*hop new samples.  The trailing partial chunk is
@@ -209,28 +250,19 @@ def main():
         cv_mel = out["mlfb"][0][:r]
         out_mels.append(cv_mel)
 
-        if args.synth == "gl":
-            ctx = (
-                cv_mel
-                if mel_ctx is None
-                else np.concatenate([mel_ctx, cv_mel], axis=0)
+        if synth_thread is not None:
+            synth_state["backlog_max"] = max(
+                synth_state["backlog_max"], synth_q.qsize()
             )
-            n_ctx = ctx.shape[0] - r
-            spc = np.power(10.0, ctx) @ inv_basis.T
-            wav_seg = _gl_numpy(spc, fftl, hop, win, args.gl_iters)
-            seg = wav_seg[n_ctx * hop : (n_ctx + r) * hop].copy()
-            if prev_tail is not None:  # one-hop cross-fade at the boundary
-                ramp = np.linspace(0.0, 1.0, hop)
-                seg[:hop] = (1 - ramp) * prev_tail + ramp * seg[:hop]
-            prev_tail = wav_seg[(n_ctx + r) * hop :][:hop]
-            prev_tail = (
-                None if len(prev_tail) < hop else prev_tail
-            )
-            out_wavs.append(seg)
-            mel_ctx = ctx[-args.gl_ctx_frames :]
+            synth_q.put((r, cv_mel))
 
         latencies.append(time.perf_counter() - t_arrive)
         emitted = t1
+
+    if synth_thread is not None:
+        synth_q.put(None)
+        synth_thread.join()
+    out_wavs = synth_state["out"]
 
     lat = np.asarray(latencies)
     chunk_s = chunk * hop / fs
@@ -248,6 +280,13 @@ def main():
         "rtf": round(float(lat.sum()) / (emitted * hop / fs), 4),
         "real_time_capable": bool(np.percentile(lat, 95) < chunk_s),
     }
+    if args.synth == "gl":
+        # synthesis overlaps the model path on its own thread; it keeps up
+        # iff its duty cycle < 1 and the queue never grows
+        result["synth_rtf"] = round(
+            synth_state["busy"] / (emitted * hop / fs), 4
+        )
+        result["synth_backlog_max"] = synth_state["backlog_max"]
     if args.synth == "gl" and args.out is not None and out_wavs:
         wav = np.concatenate(out_wavs)
         peak = np.abs(wav).max()
