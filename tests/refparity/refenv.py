@@ -151,5 +151,45 @@ class RefLossHarness:
             self, batch, outputs, loss, label=label
         )
 
+    def calculate_cyclevqvae_loss(self, batch, outputs, loss):
+        return self._cls.calculate_cyclevqvae_loss(self, batch, outputs,
+                                                   loss)
+
     def _parse_vqvae_loss(self, loss):
         return self._cls._parse_vqvae_loss(self, loss)
+
+    def _parse_cyclevqvae_loss(self, loss):
+        return self._cls._parse_cyclevqvae_loss(self, loss)
+
+
+class RefLSGANHarness(RefLossHarness):
+    """Same duck-typing for the reference LSGANTrainer's adversarial loss
+    methods (calculate_adv_loss / calculate_discriminator_loss /
+    calculate_acgan_loss / get_D_inputs)."""
+
+    def __init__(self, conf, models, n_spkrs):
+        super().__init__(conf, models)
+        from crank.net.trainer.trainer_lsgan import LSGANTrainer
+
+        self._lsgan = LSGANTrainer
+        self.n_spkrs = n_spkrs
+
+    def calculate_adv_loss(self, batch, decoded, h, mask, loss):
+        return self._lsgan.calculate_adv_loss(
+            self, batch, decoded, h, mask, loss
+        )
+
+    def calculate_discriminator_loss(self, sample, h, mask, loss,
+                                     label="real", updates=None):
+        return self._lsgan.calculate_discriminator_loss(
+            self, sample, h, mask, loss, label=label, updates=updates
+        )
+
+    def calculate_acgan_loss(self, spkr_cls, h, loss, label="adv",
+                             model="G"):
+        return self._lsgan.calculate_acgan_loss(
+            self, spkr_cls, h, loss, label=label, model=model
+        )
+
+    def get_D_inputs(self, batch, feats, label="org"):
+        return self._lsgan.get_D_inputs(self, batch, feats, label=label)

@@ -69,6 +69,7 @@ def make_conf(causal=False, causal_size=0, ema_flag=True, n_vq_stacks=2,
         "use_D_spkrcode": True,
         "gan_type": "lsgan",
         "acgan_flag": False,
+        "use_real_only_acgan": False,
         "alpha": {
             "l1": 2.0,
             "mse": 0.5,
@@ -215,6 +216,8 @@ def _make_batch(conf, seed=3):
         "decoder_mask": mask,
         "org_h": org_h,
         "dec_h": dec_h,
+        "lcf0": dec_h[..., :1].copy(),
+        "uv": dec_h[..., 1:].copy(),
         "spkrvec": spkrvec,
     }
 
@@ -471,3 +474,233 @@ def test_input_gradient_parity():
         1e-5,
         "d loss / d spkr_embedding",
     )
+
+
+def _cycle_inputs(conf, batch):
+    """(x, org_enc_h, org_dec_h, cv_enc_h, cv_dec_h, org_spkrvec,
+    cv_spkrvec) for both frameworks, from a host batch."""
+    f0_org = np.concatenate([batch["lcf0"], batch["uv"]], axis=-1)
+    f0_cv = np.concatenate([batch["cv_lcf0"], batch["uv"]], axis=-1)
+    enc_h = f0_org if conf["encoder_f0"] else None
+    enc_h_cv = f0_cv if conf["encoder_f0"] else None
+    dec_h = f0_org if conf["decoder_f0"] else None
+    dec_h_cv = f0_cv if conf["decoder_f0"] else None
+    return (batch["in_feats"], enc_h, dec_h, enc_h_cv, dec_h_cv,
+            batch["spkrvec"], batch["cv_spkrvec"])
+
+
+def _make_cycle_batch(conf, seed=41):
+    batch = _make_batch(conf, seed)
+    rng = np.random.default_rng(seed + 1)
+    batch["cv_lcf0"] = rng.standard_normal(batch["lcf0"].shape).astype(
+        np.float32
+    )
+    batch["uv"] = (rng.random(batch["lcf0"].shape) > 0.3).astype(np.float32)
+    cv_spkrvec = rng.integers(0, SPKR_SIZE, (B, T)).astype(np.int64)
+    batch["cv_spkrvec"] = cv_spkrvec
+    batch["cv_h"] = cv_spkrvec.copy()
+    batch["cycle_encoder_mask"] = batch["encoder_mask"].copy()
+    batch["cycle_decoder_mask"] = batch["decoder_mask"].copy()
+    return batch
+
+
+def _ref_cycle_forward(ref, conf, batch):
+    args = _cycle_inputs(conf, batch)
+    tt = [None if a is None else torch.from_numpy(a) for a in args]
+    with torch.no_grad():
+        return ref.cycle_forward(*tt)
+
+
+def _flax_cycle_forward(model, variables, conf, batch):
+    from crank_tpu.models.vqvae import VQVAE2
+
+    args = _cycle_inputs(conf, batch)
+    jj = [None if a is None else jnp.asarray(a) for a in args]
+    return model.apply(
+        variables, *jj, method=VQVAE2.cycle_forward, train=False
+    )
+
+
+def test_cycle_forward_parity():
+    """cycle_forward including the reference's list-aliasing semantics
+    (vqvae2.py:101-152): the cv decode consumes encodings already modified
+    by the org decode, recon re-encodes the cv decode, and the loop
+    detaches between cycles (n_cycles=2 exercises the re-entry)."""
+    conf = make_conf()
+    conf["n_cycles"] = 2
+    ref = build_ref_g(conf)
+    model, variables = build_flax_g(conf, ref)
+    batch = _make_cycle_batch(conf)
+
+    ro = _ref_cycle_forward(ref, conf, batch)
+    fo = _flax_cycle_forward(model, variables, conf, batch)
+
+    assert len(ro) == len(fo) == 2
+    for c in range(2):
+        for io in ("org", "cv", "recon"):
+            r, f = ro[c][io], fo[c][io]
+            _assert_close(r["decoded"], f["decoded"], 2e-4,
+                          f"cycle{c}/{io}/decoded")
+            for n in range(conf["n_vq_stacks"]):
+                _assert_close(r["encoded"][n], f["encoded"][n], 2e-4,
+                              f"cycle{c}/{io}/encoded[{n}]")
+                _assert_close(r["encoded_unmod"][n], f["encoded_unmod"][n],
+                              2e-4, f"cycle{c}/{io}/encoded_unmod[{n}]")
+                _assert_close(r["emb_idx"][n], f["emb_idx"][n], 2e-4,
+                              f"cycle{c}/{io}/emb_idx[{n}]")
+                qi_r = r["qidx"][n].detach().cpu().numpy()
+                assert (qi_r == np.asarray(f["qidx"][n])).all(), (
+                    f"cycle{c}/{io}/qidx[{n}]"
+                )
+
+
+def _build_c_pair(conf):
+    """Reference classifier C (shim) + flax C with transferred weights."""
+    refenv.load_reference()
+    from crank.bin.train import get_model as ref_get_model
+    from crank_tpu.train.factory import build_models, init_models
+
+    torch.manual_seed(55)
+    ref_models = ref_get_model(conf, spkr_size=SPKR_SIZE, device="cpu")
+    models = build_models(conf, SPKR_SIZE)
+    params, _ = init_models(models, conf, SPKR_SIZE, jax.random.PRNGKey(3),
+                            B=B, T=T)
+    for name in ("C", "D"):
+        if name in ref_models:
+            ref_models[name].remove_weight_norm()
+            ref_models[name].eval()
+    vC = transfer.module_to_flax(
+        transfer.pwg_discriminator_to_flax, ref_models["C"],
+        {"params": params["C"]},
+    )
+    vD = transfer.module_to_flax(
+        transfer.pwg_residual_discriminator_to_flax, ref_models["D"],
+        {"params": params["D"]},
+    )
+    return ref_models, models, vC, vD
+
+
+def test_cycle_loss_parity():
+    """calculate_cyclevqvae_loss (trainer_vqvae.py:240-292 + parse):
+    per-cycle cv classifier CE + recon reconstruction + commit terms."""
+    conf = make_conf()
+    conf["n_cycles"] = 2
+    ref = build_ref_g(conf)
+    model, variables = build_flax_g(conf, ref)
+    ref_models, models, vC, vD = _build_c_pair(conf)
+    batch = _make_cycle_batch(conf, seed=47)
+
+    ro = _ref_cycle_forward(ref, conf, batch)
+    fo = _flax_cycle_forward(model, variables, conf, batch)
+
+    harness = refenv.RefLossHarness(
+        conf, {"G": ref, "C": ref_models["C"]}
+    )
+    tb = _torch_batch(batch)
+    ref_loss = harness.calculate_cyclevqvae_loss(
+        tb, ro, {"G": torch.tensor(0.0)}
+    )
+
+    from crank_tpu.train.steps import StepFactory
+
+    factory = StepFactory(conf, {"G": model, "C": models["C"]}, None,
+                          SPKR_SIZE)
+    jb = _jax_batch(batch)
+    jl = factory.cycle_vqvae_loss(jb, fo, {"G": 0.0}, vC["params"])
+
+    keys = ["G"]
+    for c in range(conf["n_cycles"]):
+        keys += [f"C_fake_{c}cyc_cv"]
+        keys += [f"G_{k}_{c}cyc_recon" for k in ("l1", "mse", "stft")]
+        for n in range(conf["n_vq_stacks"]):
+            keys += [f"G_commit{n}_{c}cyc_cv", f"G_commit{n}_{c}cyc_recon"]
+    for k in keys:
+        _assert_close(ref_loss[k], jl[k], 3e-4, f"cycle loss[{k}]")
+
+
+@pytest.mark.parametrize("acgan", [False, True])
+def test_lsgan_loss_parity(acgan):
+    """LSGAN D-input assembly (uv + detached speaker embedding), G
+    adversarial loss and D real/fake losses (trainer_lsgan.py:146-206),
+    with and without the ACGAN head."""
+    conf = make_conf()
+    conf["acgan_flag"] = acgan
+    conf["cvadv_flag"] = True
+    ref = build_ref_g(conf)
+    model, variables = build_flax_g(conf, ref)
+    ref_models, models, vC, vD = _build_c_pair(conf)
+    batch = _make_cycle_batch(conf, seed=53)
+    tb = _torch_batch(batch)
+    jb = _jax_batch(batch)
+
+    harness = refenv.RefLSGANHarness(
+        conf, {"G": ref, "D": ref_models["D"]}, SPKR_SIZE
+    )
+
+    # --- D-input parity (real): embedding lookup + detach + concat
+    ref_real = harness.get_D_inputs(tb, tb["in_feats"], label="org")
+    from crank_tpu.train.steps import StepFactory
+
+    factory = StepFactory(conf, {"G": model, "D": models["D"]}, None,
+                          SPKR_SIZE)
+    j_real = factory.get_D_inputs(jb, jb["in_feats"], variables["params"],
+                                  label="org")
+    _assert_close(ref_real, j_real, 1e-6, "D real inputs")
+
+    # --- G adversarial loss on the cv decode
+    f0_cv = np.concatenate([batch["cv_lcf0"], batch["uv"]], axis=-1)
+    with torch.no_grad():
+        adv_out = ref.forward(
+            tb["in_feats"], None, torch.from_numpy(f0_cv),
+            torch.from_numpy(batch["cv_spkrvec"]),
+        )
+    ref_loss = harness.calculate_adv_loss(
+        tb, adv_out["decoded"], tb["cv_h"], tb["decoder_mask"],
+        {"G": torch.tensor(0.0), "D": torch.tensor(0.0)},
+    )
+
+    fo = model.apply(
+        variables, jb["in_feats"], None, jnp.asarray(f0_cv),
+        jb["cv_spkrvec"].astype(jnp.int32), train=False,
+    )
+    _assert_close(adv_out["decoded"], fo["decoded"], 1e-4, "adv decoded")
+    jl = factory.adv_loss(
+        jb, fo["decoded"], jb["cv_h"], jb["decoder_mask"],
+        {"G": 0.0, "D": 0.0}, variables["params"], vD["params"], None,
+    )
+    _assert_close(ref_loss["D_adv"], jl["D_adv"], 2e-4, "D_adv")
+    _assert_close(ref_loss["G"], jl["G"], 2e-4, "G after adv")
+    if acgan:
+        _assert_close(ref_loss["D_acgan_adv"], jl["D_acgan_adv"], 2e-4,
+                      "D_acgan_adv")
+
+    # --- D real/fake losses
+    def ref_d(x):
+        with torch.no_grad():
+            return ref_models["D"](x.transpose(1, 2)).transpose(1, 2)
+
+    loss_t = {"G": torch.tensor(0.0), "D": torch.tensor(0.0)}
+    real = ref_d(ref_real)
+    loss_t = harness.calculate_discriminator_loss(
+        real, tb["org_h"], tb["decoder_mask"], loss_t, label="real"
+    )
+    fake_in = harness.get_D_inputs(tb, adv_out["decoded"], label="cv")
+    fake = ref_d(fake_in)
+    loss_t = harness.calculate_discriminator_loss(
+        fake, tb["cv_h"], tb["decoder_mask"], loss_t, label="fake"
+    )
+
+    loss_j = {"G": 0.0, "D": 0.0}
+    real_j = models["D"].apply(vD, j_real)
+    loss_j = factory.discriminator_loss(
+        real_j, jb["org_h"], jb["decoder_mask"], loss_j, label="real"
+    )
+    fake_in_j = factory.get_D_inputs(jb, fo["decoded"],
+                                     variables["params"], label="cv")
+    fake_j = models["D"].apply(vD, fake_in_j)
+    loss_j = factory.discriminator_loss(
+        fake_j, jb["cv_h"], jb["decoder_mask"], loss_j, label="fake"
+    )
+    for k in (["D_real", "D_fake", "D"]
+              + (["D_acgan_real", "D_acgan_fake"] if acgan else [])):
+        _assert_close(loss_t[k], loss_j[k], 2e-4, f"lsgan loss[{k}]")
