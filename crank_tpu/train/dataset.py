@@ -104,6 +104,13 @@ class VCDataset:
 
         self.features = {conf["input_feat_type"], conf["output_feat_type"],
                          "lcf0", "uv"}
+        if "excit" in self.features:
+            # derived excitation target [lcf0, uv, cap] — the reference's
+            # intent at dataset.py:111-112, which is doubly broken upstream
+            # (array-to-string compare + invalid np.hstack call); built
+            # after normalization from the stored features
+            self.features.discard("excit")
+            self.features.add("cap")
         if "mcep" in self.features:
             self.features.add("cap")
         if conf.get("use_raw") or conf.get("use_sinc_conv"):
@@ -184,6 +191,10 @@ class VCDataset:
         if "mcep" in self.features and not self.conf.get("use_mcep_0th", False):
             sample["mcep_0th"] = sample["mcep"][..., :1]
             sample["mcep"] = sample["mcep"][..., 1:]
+        if self.conf["output_feat_type"] == "excit":
+            sample["excit"] = np.concatenate(
+                [sample["lcf0"], sample["uv"], sample["cap"]], axis=-1
+            ).astype(np.float32)
 
         sample = self._zero_padding(sample)
         for m in ("encoder_mask", "decoder_mask", "cycle_encoder_mask",
@@ -388,6 +399,10 @@ class VectorizedLoader:
         if "mcep" in b and not ds.conf.get("use_mcep_0th", False):
             b["mcep_0th"] = b["mcep"][..., :1]
             b["mcep"] = b["mcep"][..., 1:]
+        if ds.conf["output_feat_type"] == "excit":
+            b["excit"] = np.concatenate(
+                [b["lcf0"], b["uv"], b["cap"]], axis=-1
+            )
         b["in_feats"] = np.copy(b[ds.conf["input_feat_type"]])
         b["out_feats"] = np.copy(b[ds.conf["output_feat_type"]])
         if ds.conf.get("spec_augment") and ds.phase == "train":

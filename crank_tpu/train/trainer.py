@@ -420,6 +420,11 @@ class Trainer:
             Path(k).parent.mkdir(parents=True, exist_ok=True)
         if save_hdf5:
             self._save_decoded_to_hdf5(feats)
+        if save_decoded and self.conf["output_feat_type"] == "excit":
+            # excitation predictions alone are not synthesizable (no
+            # spectral envelope); dumps only (upstream never defined a
+            # synthesis path for excit — its excit branch never executed)
+            save_decoded = False
         if save_decoded:
             # dev-time listening wavs: synthesize + write on a single
             # background worker so the train loop keeps dispatching steps
@@ -447,7 +452,8 @@ class Trainer:
         feat_type = conf["output_feat_type"]
 
         def inv_trans(k, feat):
-            if k not in conf["ignore_scaler"]:
+            # derived feature types (excit) have no scaler entry: dump raw
+            if k not in conf["ignore_scaler"] and k in self.scaler:
                 return self.scaler[k].inverse_transform(feat)
             return feat
 

@@ -282,3 +282,58 @@ def test_vectorized_loader_raw_equivalence(tmp_path):
             expect = padding_raw(x, BATCH_LEN - flens[i], BATCH_LEN, fftl,
                                  hop, p=p)
             np.testing.assert_array_equal(r, expect)
+
+
+def test_excit_training_step(mcep_corpus):
+    """Working `excit` output feature type: target = [lcf0, uv, cap]
+    (the reference's intent at dataset.py:111-112, broken upstream: an
+    array-to-string compare guards an invalid np.hstack call, so its
+    excit branch can never run)."""
+    excit_dim = 1 + 1 + 2  # lcf0 + uv + cap(2 bands in this fixture)
+    conf = make_conf(
+        input_feat_type="mcep", output_feat_type="excit",
+        input_size=MCEP_DIM, output_size=excit_dim, use_mcep_0th=False,
+        ignore_scaler=["raw", "mcep"],
+    )
+    ds = VCDataset(conf, mcep_corpus["scp"], mcep_corpus["scaler"],
+                   phase="train", seed=0)
+    sample = ds[0]
+    assert sample["out_feats"].shape == (BATCH_LEN, excit_dim)
+    # target layout: normalized lcf0, raw uv, raw cap
+    np.testing.assert_allclose(sample["out_feats"][:, :1], sample["lcf0"])
+    np.testing.assert_allclose(sample["out_feats"][:, 1:2], sample["uv"])
+    np.testing.assert_allclose(sample["out_feats"][:, 2:], sample["cap"])
+
+    batch = select_device_batch(
+        collate([ds[i % len(ds)] for i in range(BATCH_SIZE)])
+    )
+    models = build_models(conf, spkr_size=len(SPKRS))
+    params, ema = init_models(models, conf, len(SPKRS),
+                              jax.random.PRNGKey(0), B=2, T=BATCH_LEN)
+    opts = make_optimizers(conf, list(models.keys()))
+    factory = StepFactory(conf, models, opts, spkr_size=len(SPKRS))
+    state = {"params": params, "ema": ema,
+             "opt": {m: opts[m].init(params[m]) for m in models}}
+    step = factory.make_step(Mode(trainer_type="vqvae"))
+    state, loss = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(jax.device_get(loss)["G"]))
+
+
+def test_excit_vectorized_loader(mcep_corpus):
+    from crank_tpu.train.dataset import VectorizedLoader
+
+    excit_dim = 4
+    conf = make_conf(
+        input_feat_type="mcep", output_feat_type="excit",
+        input_size=MCEP_DIM, output_size=excit_dim, use_mcep_0th=False,
+        ignore_scaler=["raw", "mcep"], cache_dataset=True,
+    )
+    ds = VCDataset(conf, mcep_corpus["scp"], mcep_corpus["scaler"],
+                   phase="train", seed=0)
+    loader = VectorizedLoader(ds, batch_size=BATCH_SIZE, seed=1)
+    b = loader.next_batch() if hasattr(loader, "next_batch") else next(
+        iter(loader)
+    )
+    assert b["out_feats"].shape[-1] == excit_dim
+    np.testing.assert_allclose(b["out_feats"][..., :1], b["lcf0"])
+    np.testing.assert_allclose(b["out_feats"][..., 1:2], b["uv"])
