@@ -93,6 +93,11 @@ def main():
                         help="GL=Griffin-Lim, NPWG=in-tree neural vocoder, "
                              "PWG=external parallel_wavegan package")
     parser.add_argument("--voc_expdir", type=str, default="downloads/PWG")
+    parser.add_argument("--voc_checkpoint", type=str, default=None,
+                        help="explicit NPWG vocoder checkpoint for stage-6 "
+                             "decoding (default: latest in exp/vocoder — "
+                             "i.e. the fine-tuned one when stage 6 ran the "
+                             "fine-tune phase)")
     parser.add_argument("--resume_checkpoint", type=str, default="None")
     parser.add_argument("--decode_checkpoint", type=str, default="None")
     parser.add_argument("--dev_utterances", type=int, default=3)
@@ -310,10 +315,14 @@ def main():
             if recon.exists():
                 voc_train_cmd(outdir / "vocoder_finetune.log",
                               ("--decoded_rootdir", recon, "--finetune"))
+            voc_ckpt = (
+                ["--checkpoint", args.voc_checkpoint]
+                if args.voc_checkpoint else []
+            )
             run_cmd(
                 py + ["crank_tpu.bin.vocoder_decode", "--conf", conf,
                       "--rootdir", eval_wav, "--outdir", outdir / "wav",
-                      "--expdir", voc_expdir],
+                      "--expdir", voc_expdir, *voc_ckpt],
                 outdir / "vocoder_decode.log", L, env,
             )
         else:  # PWG via external parallel-wavegan package

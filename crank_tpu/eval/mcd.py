@@ -56,10 +56,27 @@ def summarize_pairwise(results):
 
     Keys are tuples, not joined strings — speaker names and uids may
     contain '-' themselves (utils/naming.py contract).
+
+    Utterances with no voiced frames after re-analysis score NaN; they are
+    excluded from the pair mean (nanmean) and counted, instead of poisoning
+    the whole pair (a single fully-unvoiced synthesis would otherwise erase
+    the pair's score — the reference would print nan there too).
     """
+    import logging
+
     pairwise = {}
     for (org, tar, _), v in results:
         pairwise.setdefault(f"{org} {tar}", []).append(v)
-    return {
-        k: float(np.mean(v)) for k, v in sorted(pairwise.items())
-    }
+    out = {}
+    for k, v in sorted(pairwise.items()):
+        arr = np.asarray(v, dtype=float)
+        n_nan = int(np.isnan(arr).sum())
+        if n_nan:
+            logging.warning(
+                "pair %s: %d/%d utterances had no voiced frames "
+                "(excluded from the mean)", k, n_nan, len(arr)
+            )
+        out[k] = (
+            float(np.nanmean(arr)) if n_nan < len(arr) else float("nan")
+        )
+    return out
