@@ -26,6 +26,12 @@ def main():
     parser.add_argument("--outdir", type=str)
     parser.add_argument("--expdir", type=str, help="vocoder experiment dir")
     parser.add_argument("--checkpoint", type=str, default=None)
+    parser.add_argument(
+        "--gt",
+        action="store_true",
+        help="rootdir holds extraction h5s (ground-truth keys: mlfb / "
+        "mcep+lcf0+uv) rather than decoded-feature dumps ('feats')",
+    )
     args = parser.parse_args()
 
     conf = load_yaml(args.conf)
@@ -37,7 +43,7 @@ def main():
     trainer = VocoderTrainer(voc_conf, args.expdir, resume_state=state)
 
     rootdir, outdir = Path(args.rootdir), Path(args.outdir)
-    exts = aux_exts_for(conf, decoded=True)
+    exts = aux_exts_for(conf, decoded=not args.gt)
     for h5f in sorted(rootdir.rglob("*.h5")):
         mel = concat_aux_features(h5f, exts)
         wav = trainer.decode_mel(mel)
