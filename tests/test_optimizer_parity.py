@@ -1,0 +1,137 @@
+"""Optimizer-step parity vs the reference's torch optimizers.
+
+The reference builds per-model torch optimizers + StepLR schedulers
+(crank/net/trainer/utils.py:40-74) and steps every scheduler once per
+*global* step (basetrainer).  These tests feed identical gradient
+sequences to torch and to our optax chains (crank_tpu/train/optim.py) and
+assert the parameter trajectories agree:
+
+* adam (the reference's default type for every model) — exact trajectory,
+  including the StepLR staircase and clip_grad_norm.
+* radam — vs torch.optim.RAdam (torch_optimizer.RAdam, the reference's
+  import, is not installed here; both implement Liu et al.'s Algorithm 2
+  with the rho>5 rectification threshold).
+* the D decay-clock offset: D's first update happens at global step
+  n_steps_gan_start, but its StepLR has been stepping since step 0.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from crank_tpu.train.optim import make_optimizer, step_offsets
+
+N_STEPS = 9
+SHAPE = (4, 3)
+
+
+def _grads(seed=0):
+    rng = np.random.default_rng(seed)
+    return [rng.standard_normal(SHAPE).astype(np.float32)
+            for _ in range(N_STEPS)]
+
+
+def _torch_traj(optim_cls, lr, step_size, gamma, grads, clip=0.0,
+                start=0, **kw):
+    """Parameter trajectory under the reference's update discipline:
+    optional late start (GAN D), scheduler stepped every global step."""
+    p = torch.nn.Parameter(torch.zeros(*SHAPE))
+    opt = optim_cls([p], lr=lr, **kw)
+    sched = torch.optim.lr_scheduler.StepLR(opt, step_size=step_size,
+                                            gamma=gamma)
+    traj = []
+    for t, g in enumerate(grads):
+        if t >= start:
+            opt.zero_grad()
+            p.grad = torch.from_numpy(g)
+            if clip:
+                torch.nn.utils.clip_grad_norm_([p], clip)
+            opt.step()
+        sched.step()
+        traj.append(p.detach().numpy().copy())
+    return traj
+
+
+def _optax_traj(optim_conf, grads, start=0):
+    tx = make_optimizer(optim_conf, step_offset=start)
+    p = jnp.zeros(SHAPE, jnp.float32)
+    state = tx.init(p)
+    traj = []
+    for t, g in enumerate(grads):
+        if t >= start:
+            updates, state = tx.update(jnp.asarray(g), state, p)
+            p = p + updates
+        traj.append(np.asarray(p))
+    return traj
+
+
+def _assert_traj(tt, jt, tol, what):
+    for t, (a, b) in enumerate(zip(tt, jt)):
+        err = float(np.max(np.abs(a - b)))
+        assert err < tol, f"{what}: step {t} max abs err {err} >= {tol}"
+
+
+@pytest.mark.parametrize("clip", [0.0, 0.7])
+def test_adam_steplr_parity(clip):
+    """torch.optim.Adam + StepLR + clip_grad_norm_ vs our optax chain:
+    identical parameter trajectory through two decay boundaries."""
+    grads = _grads(1)
+    tt = _torch_traj(torch.optim.Adam, 0.01, 3, 0.5, grads, clip=clip)
+    jt = _optax_traj(
+        {"type": "adam", "lr": 0.01, "decay_step_size": 3,
+         "decay_size": 0.5, "clip_grad_norm": clip},
+        grads,
+    )
+    _assert_traj(tt, jt, 1e-6, f"adam(clip={clip})")
+
+
+def test_adam_late_start_offset_parity():
+    """D's decay clock: torch steps StepLR from global step 0 while the
+    optimizer only starts at n_steps_gan_start; our step_offset re-anchors
+    the optax schedule to the same global clock."""
+    grads = _grads(2)
+    start = 4
+    tt = _torch_traj(torch.optim.Adam, 0.02, 2, 0.5, grads, start=start)
+    jt = _optax_traj(
+        {"type": "adam", "lr": 0.02, "decay_step_size": 2,
+         "decay_size": 0.5},
+        grads, start=start,
+    )
+    _assert_traj(tt, jt, 1e-6, "adam late-start")
+    # and without the offset the trajectories must diverge (regression
+    # guard for the round-2 decay-clock deviation)
+    jt_wrong = _optax_traj(
+        {"type": "adam", "lr": 0.02, "decay_step_size": 2,
+         "decay_size": 0.5},
+        grads, start=0,
+    )[: N_STEPS - start]
+    final_err = float(np.max(np.abs(tt[-1] - jt_wrong[-1])))
+    assert final_err > 1e-4
+
+
+def test_radam_parity():
+    """optax.radam vs torch.optim.RAdam (same rectification algorithm as
+    the reference's torch_optimizer.RAdam import).  Tolerance is wider
+    than adam's: the two differ only in where eps enters the denominator
+    (constant ~8e-9/step in float64), which accumulates to ~1e-5 over a
+    few float32 steps."""
+    grads = _grads(3)
+    tt = _torch_traj(torch.optim.RAdam, 0.01, 4, 0.5, grads)
+    jt = _optax_traj(
+        {"type": "radam", "lr": 0.01, "decay_step_size": 4,
+         "decay_size": 0.5},
+        grads,
+    )
+    _assert_traj(tt, jt, 2e-5, "radam")
+
+
+def test_step_offsets_config():
+    """Only GAN-family trainers offset D; vqvae (no D updates gated) and
+    non-D models stay on the zero offset."""
+    conf = {"trainer_type": "lsgan", "n_steps_gan_start": 123}
+    offs = step_offsets(conf, ["G", "D", "C", "SPKRADV"])
+    assert offs == {"G": 0, "D": 123, "C": 0, "SPKRADV": 0}
+    offs = step_offsets({"trainer_type": "vqvae"}, ["G", "C"])
+    assert offs == {"G": 0, "C": 0}

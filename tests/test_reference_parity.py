@@ -704,3 +704,173 @@ def test_lsgan_loss_parity(acgan):
     for k in (["D_real", "D_fake", "D"]
               + (["D_acgan_real", "D_acgan_fake"] if acgan else [])):
         _assert_close(loss_t[k], loss_j[k], 2e-4, f"lsgan loss[{k}]")
+
+
+def _build_spkradv_pair(conf):
+    """Reference SPKRADV + flax SpeakerAdversarialNetwork with transferred
+    classifier weights (same recipe as test_spkradv_parity)."""
+    refenv.load_reference()
+    from crank.net.module.spkradv import (
+        SpeakerAdversarialNetwork as RefSPKRADV,
+    )
+    from crank_tpu.models.spkradv import SpeakerAdversarialNetwork
+
+    torch.manual_seed(11)
+    ref_adv = RefSPKRADV(conf, spkr_size=SPKR_SIZE)
+    ref_adv.classifier.remove_weight_norm()
+    ref_adv.eval()
+    adv = SpeakerAdversarialNetwork(
+        spkr_size=SPKR_SIZE,
+        scale=conf["spkradv_lambda"],
+        kernel_size=conf["spkradv_kernel_size"],
+        layers=conf["n_spkradv_layers"],
+    )
+    rng = np.random.default_rng(5)
+    enc = [
+        jnp.asarray(
+            rng.standard_normal((B, T, conf["emb_dim"][n])).astype(np.float32)
+        )
+        for n in range(conf["n_vq_stacks"])
+    ]
+    variables = adv.init(jax.random.PRNGKey(0), enc)
+    variables = transfer.module_to_flax(
+        transfer.pwg_discriminator_to_flax,
+        ref_adv.classifier,
+        variables,
+        prefix=("ConvDiscriminator_0",),
+    )
+    return ref_adv, adv, variables
+
+
+def test_stargan_g_loss_parity():
+    """StarGAN G update composition (trainer_stargan.py:51-80): vqvae loss
+    on cycle_outputs[0]['org'], the cyclic losses, spkradv on cv+recon
+    (including the alpha_cycle*alpha_ce recon weighting,
+    trainer_vqvae.py:307-314) and the adversarial term on the first
+    cycle's cv decode."""
+    conf = make_conf()
+    conf["trainer_type"] = "stargan"
+    conf["use_vqvae_loss"] = True
+    conf["switch_update"] = False
+    ref = build_ref_g(conf)
+    model, variables = build_flax_g(conf, ref)
+    ref_models, models, vC, vD = _build_c_pair(conf)
+    ref_adv, adv_model, vADV = _build_spkradv_pair(conf)
+    batch = _make_cycle_batch(conf, seed=61)
+    tb, jb = _torch_batch(batch), _jax_batch(batch)
+
+    ro = _ref_cycle_forward(ref, conf, batch)
+    fo = _flax_cycle_forward(model, variables, conf, batch)
+
+    harness = refenv.RefLSGANHarness(
+        conf,
+        {"G": ref, "C": ref_models["C"], "D": ref_models["D"],
+         "SPKRADV": ref_adv},
+        SPKR_SIZE,
+    )
+    loss_t = {"G": torch.tensor(0.0), "D": torch.tensor(0.0)}
+    loss_t = harness.calculate_vqvae_loss(tb, ro[0]["org"], loss_t)
+    loss_t = harness.calculate_cyclevqvae_loss(tb, ro, loss_t)
+    for label in ("cv", "recon"):
+        loss_t = harness.calculate_spkradv_loss(
+            tb, ro[0][label], loss_t, label=label
+        )
+    loss_t = harness.calculate_adv_loss(
+        tb, ro[0]["cv"]["decoded"], tb["cv_h"], tb["decoder_mask"], loss_t
+    )
+
+    from crank_tpu.train.steps import StepFactory
+
+    factory = StepFactory(
+        conf,
+        {"G": model, "C": models["C"], "D": models["D"],
+         "SPKRADV": adv_model},
+        None,
+        SPKR_SIZE,
+    )
+    lo = {"G": 0.0, "D": 0.0}
+    lo = factory.vqvae_loss(jb, fo[0]["org"], lo)
+    lo = factory.cycle_vqvae_loss(jb, fo, lo, vC["params"])
+    for label in ("cv", "recon"):
+        lo = factory.spkradv_g_loss(jb, fo[0][label], lo, vADV["params"],
+                                    label)
+    lo = factory.adv_loss(
+        jb, fo[0]["cv"]["decoded"], jb["cv_h"], jb["decoder_mask"], lo,
+        variables["params"], vD["params"], None,
+    )
+
+    for k in ("G_spkradv_cv", "G_spkradv_recon", "D_adv", "G"):
+        _assert_close(loss_t[k], lo[k], 3e-4, f"stargan G loss[{k}]")
+
+
+@pytest.mark.parametrize("updates", ["real", "fake", None])
+def test_stargan_d_loss_parity(updates):
+    """StarGAN D update (trainer_stargan.py:82-118): fully-cv-conditioned
+    fake forward (enc_h_cv AND dec_h_cv) and switch_update gating — only
+    the chosen label's term enters D's total, both are still logged."""
+    conf = make_conf(encoder_f0=True)
+    conf["trainer_type"] = "stargan"
+    ref = build_ref_g(conf)
+    model, variables = build_flax_g(conf, ref)
+    ref_models, models, vC, vD = _build_c_pair(conf)
+    batch = _make_cycle_batch(conf, seed=67)
+    tb, jb = _torch_batch(batch), _jax_batch(batch)
+    f0_cv = np.concatenate([batch["cv_lcf0"], batch["uv"]], axis=-1)
+
+    harness = refenv.RefLSGANHarness(
+        conf, {"G": ref, "D": ref_models["D"]}, SPKR_SIZE
+    )
+
+    def ref_d(x):
+        with torch.no_grad():
+            return ref_models["D"](x.transpose(1, 2)).transpose(1, 2)
+
+    ups = updates if updates is not None else ["real", "fake"]
+    loss_t = {"G": torch.tensor(0.0), "D": torch.tensor(0.0)}
+    real_in = harness.get_D_inputs(tb, tb["in_feats"], label="org")
+    loss_t = harness.calculate_discriminator_loss(
+        ref_d(real_in), tb["org_h"], tb["decoder_mask"], loss_t,
+        label="real", updates=ups,
+    )
+    with torch.no_grad():
+        out_t = ref.forward(
+            tb["in_feats"], torch.from_numpy(f0_cv),
+            torch.from_numpy(f0_cv), torch.from_numpy(batch["cv_spkrvec"]),
+        )
+    fake_in = harness.get_D_inputs(tb, out_t["decoded"].detach(),
+                                   label="cv")
+    loss_t = harness.calculate_discriminator_loss(
+        ref_d(fake_in), tb["cv_h"], tb["decoder_mask"], loss_t,
+        label="fake", updates=ups,
+    )
+
+    from crank_tpu.train.steps import StepFactory
+
+    factory = StepFactory(conf, {"G": model, "D": models["D"]}, None,
+                          SPKR_SIZE)
+    w_real = 1.0 if updates in (None, "real") else 0.0
+    w_fake = 1.0 if updates in (None, "fake") else 0.0
+    lo = {"G": 0.0, "D": 0.0}
+    real_j = models["D"].apply(
+        vD, factory.get_D_inputs(jb, jb["in_feats"], variables["params"],
+                                 "org")
+    )
+    lo = factory.discriminator_loss(
+        real_j, jb["org_h"], jb["decoder_mask"], lo, "real", w_real
+    )
+    fo = model.apply(
+        variables, jb["in_feats"], jnp.asarray(f0_cv), jnp.asarray(f0_cv),
+        jb["cv_spkrvec"].astype(jnp.int32), train=False,
+    )
+    _assert_close(out_t["decoded"], fo["decoded"], 2e-4,
+                  "stargan fake decoded (cv enc+dec conditioning)")
+    fake_j = models["D"].apply(
+        vD, factory.get_D_inputs(jb, fo["decoded"], variables["params"],
+                                 "cv")
+    )
+    lo = factory.discriminator_loss(
+        fake_j, jb["cv_h"], jb["decoder_mask"], lo, "fake", w_fake
+    )
+
+    for k in ("D_real", "D_fake", "D"):
+        _assert_close(loss_t[k], lo[k], 2e-4, f"stargan D loss[{k}]")
