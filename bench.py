@@ -65,6 +65,9 @@ def _step_flops(step, *args):
         ca = step.lower(*args).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
+        # NOTE: cost_analysis runs on the optimized post-SPMD-partitioning
+        # module — on a mesh this is ONE device's shard of the step, not
+        # the global program.
         return float(ca["flops"])
     except Exception:
         return None
@@ -144,11 +147,14 @@ def main():
             time.sleep(15)
 
     frames_per_sec_per_chip = B * T * n_iters / best_dt / n_chips
+    # _step_flops is per-device (post-SPMD shard), so per-chip MFU divides
+    # by one chip's peak only, and flops/frame scales back to the global
+    # batch by n_chips
     flops = _step_flops(step, state, batch, key)
     peak = _peak_for(jax.devices()[0])
     mfu = None
     if flops and peak:
-        mfu = flops * n_iters / best_dt / (n_chips * peak)
+        mfu = flops * n_iters / best_dt / peak
     print(
         json.dumps(
             {
@@ -165,7 +171,7 @@ def main():
                 "baseline_cpu_cores": BASELINE_CPU_CORES,
                 "mfu": round(mfu, 4) if mfu is not None else None,
                 "flops_per_frame": (
-                    round(flops / (B * T)) if flops else None
+                    round(flops * n_chips / (B * T)) if flops else None
                 ),
                 "device": jax.devices()[0].device_kind,
             }

@@ -175,9 +175,15 @@ def main():
     import threading
 
     synth_q = _queue.Queue()
-    synth_state = {"out": [], "busy": 0.0, "backlog_max": 0}
+    synth_state = {"out": [], "busy": 0.0, "backlog_max": 0, "error": None}
 
     def _synth_worker():
+        try:
+            _synth_loop()
+        except BaseException as e:  # surfaced in the main thread after join
+            synth_state["error"] = e
+
+    def _synth_loop():
         mel_ctx = None  # trailing converted-mel context for per-chunk GL
         prev_tail = None  # last synthesized samples for the cross-fade
         while True:
@@ -262,6 +268,10 @@ def main():
     if synth_thread is not None:
         synth_q.put(None)
         synth_thread.join()
+        if synth_state["error"] is not None:
+            raise RuntimeError(
+                "GL synthesis worker failed mid-stream"
+            ) from synth_state["error"]
     out_wavs = synth_state["out"]
 
     lat = np.asarray(latencies)
@@ -283,10 +293,14 @@ def main():
     if args.synth == "gl":
         # synthesis overlaps the model path on its own thread; it keeps up
         # iff its duty cycle < 1 and the queue never grows
-        result["synth_rtf"] = round(
-            synth_state["busy"] / (emitted * hop / fs), 4
-        )
+        synth_rtf = synth_state["busy"] / (emitted * hop / fs)
+        result["synth_rtf"] = round(synth_rtf, 4)
         result["synth_backlog_max"] = synth_state["backlog_max"]
+        # the whole pipeline is real-time only if the off-thread synthesis
+        # also keeps up with the stream
+        result["real_time_capable"] = bool(
+            result["real_time_capable"] and synth_rtf < 1.0
+        )
     if args.synth == "gl" and args.out is not None and out_wavs:
         wav = np.concatenate(out_wavs)
         peak = np.abs(wav).max()

@@ -61,7 +61,13 @@ def main():
     conf = load_yaml(args.conf)
     spkr_conf = load_yaml(args.spkr_conf)
 
-    out = sys.stdout if args.out is None else open(args.out, "w")
+    def write_lines(lines):
+        # opened only once results exist — a failed or invalid run must
+        # not truncate a previous good score file
+        out = sys.stdout if args.out is None else open(args.out, "w")
+        out.writelines(lines)
+        if args.out is not None:
+            out.close()
 
     if args.merge_from:
         results = []
@@ -72,10 +78,8 @@ def main():
                     results.append(((org, tar, number), float(v)))
         logging.info("merged %d per-utterance scores from %d jobs",
                      len(results), len(args.merge_from))
-        for k, v in summarize_pairwise(results).items():
-            out.write(f"{k} {v:.3f}\n")
-        if args.out is not None:
-            out.close()
+        write_lines(f"{k} {v:.3f}\n"
+                    for k, v in summarize_pairwise(results).items())
         return
 
     if not (1 <= args.job_index <= args.n_splits):
@@ -101,13 +105,11 @@ def main():
     if args.n_splits > 1:
         # raw per-utterance scores (tab-separated: names/uids may contain
         # spaces never, but '-' yes — tabs are unambiguous)
-        for (org, tar, number), v in results:
-            out.write(f"{org}\t{tar}\t{number}\t{v}\n")
+        write_lines(f"{org}\t{tar}\t{number}\t{v}\n"
+                    for (org, tar, number), v in results)
     else:
-        for k, v in summarize_pairwise(results).items():
-            out.write(f"{k} {v:.3f}\n")
-    if args.out is not None:
-        out.close()
+        write_lines(f"{k} {v:.3f}\n"
+                    for k, v in summarize_pairwise(results).items())
 
 
 if __name__ == "__main__":

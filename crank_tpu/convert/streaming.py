@@ -98,10 +98,13 @@ class StreamingConverter:
         # per chunk but reshape + ship the raw features (VERDICT r2 weak #1:
         # the python-loop scaler transforms and the duplicated convert_f0
         # were on the streaming critical path).
+        # .scale_ (not sqrt(var_)): keeps the sklearn zero-variance guard
+        # of features/scaler.py:22-27 — a constant mlfb bin divides by 1,
+        # matching the host scaler.transform path instead of emitting NaN.
         mlfb_mean = jnp.asarray(scaler["mlfb"].mean_, jnp.float32)
-        mlfb_std = jnp.sqrt(jnp.asarray(scaler["mlfb"].var_, jnp.float32))
+        mlfb_std = jnp.asarray(scaler["mlfb"].scale_, jnp.float32)
         lcf0_mean = jnp.asarray(scaler["lcf0"].mean_, jnp.float32)
-        lcf0_std = jnp.sqrt(jnp.asarray(scaler["lcf0"].var_, jnp.float32))
+        lcf0_std = jnp.asarray(scaler["lcf0"].scale_, jnp.float32)
         org_s = scaler[org_spkr]["lcf0"]
         cv_s = scaler[cv_spkr]["lcf0"]
         f0_m_org = jnp.asarray(org_s.mean_, jnp.float32)

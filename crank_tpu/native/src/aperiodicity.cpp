@@ -63,8 +63,12 @@ extern "C" int crank_band_aperiodicity(const double* x, int n, int fs,
   std::vector<cplx> X;
   rfft(xp.data(), (int)N, X);
   const int halfN = (int)N / 2 + 1;
-  // analytic band signals: one-sided masked spectrum, full complex iFFT
-  std::vector<std::vector<cplx>> bands(n_bands);
+  // analytic band signals: one-sided masked spectrum, full complex iFFT.
+  // Bands are processed one at a time with a single reused N-sized buffer
+  // (ap_coarse filled column-by-column) — holding all n_bands full-length
+  // complex signals at once costs n_bands*N*16B, which OOMs long-file
+  // extraction jobs (e.g. 5 min @ 48 kHz ~ 1.3 GB per joblib worker).
+  std::vector<cplx> masked(N);
   for (int b = 0; b < n_bands; b++) {
     const double center_hz = 3000.0 * (b + 1);
     const double lo_hz = (b == 0) ? 0.0 : center_hz - 1500.0;
@@ -72,28 +76,24 @@ extern "C" int crank_band_aperiodicity(const double* x, int n, int fs,
         (b == n_bands - 1) ? fs / 2.0 : center_hz + 1500.0;
     const int lo = (int)(lo_hz / fs * (double)N);
     const int hi = std::min(halfN - 1, (int)(hi_hz / fs * (double)N));
-    std::vector<cplx> masked(N, cplx(0.0, 0.0));
+    std::fill(masked.begin(), masked.end(), cplx(0.0, 0.0));
     for (int i = lo; i <= hi; i++) masked[i] = X[i];
     fft_inplace(masked, true);
-    bands[b] = std::move(masked);
-  }
 
-  for (int t = 0; t < n_frames; t++) {
-    const double cur_f0 = f0[t];
-    if (cur_f0 <= 0.0) {
-      // unvoiced frames get maximum aperiodicity (stored as 0 dB = 1.0)
-      for (int b = 0; b < n_bands; b++)
+    for (int t = 0; t < n_frames; t++) {
+      const double cur_f0 = f0[t];
+      if (cur_f0 <= 0.0) {
+        // unvoiced frames get maximum aperiodicity (stored as 0 dB = 1.0)
         ap_coarse[(size_t)t * n_bands + b] = 0.0;
-      continue;
-    }
-    const int center = t * hop;
-    const int lag0 = std::max(2, (int)std::round((double)fs / cur_f0));
-    for (int b = 0; b < n_bands; b++) {
+        continue;
+      }
+      const int center = t * hop;
+      const int lag0 = std::max(2, (int)std::round((double)fs / cur_f0));
       // lag search +/- 1 sample absorbs F0-estimate rounding; the
       // sub-sample remainder is already handled by the complex NCC
       double best = 0.0;
       for (int lag = lag0 - 1; lag <= lag0 + 1; lag++)
-        best = std::max(best, band_ncc(bands[b], n, center, lag));
+        best = std::max(best, band_ncc(masked, n, center, lag));
       best = std::max(0.0, std::min(1.0, best));
       const double ap = std::sqrt(std::max(1e-12, 1.0 - best));
       // store in dB-like log domain (WORLD codes coarse ap in dB)

@@ -163,6 +163,13 @@ class VCDataset:
         sample["cv_spkr_name"] = self.rng.choice(
             [s for s in self.spkrdict if s != sample["org_spkr_name"]]
         )
+        if "excit" in (self.conf["input_feat_type"],
+                       self.conf["output_feat_type"]):
+            # built before any feature-keyed access: excit may be the
+            # *input* type, in which case flen below reads it
+            sample["excit"] = np.concatenate(
+                [sample["lcf0"], sample["uv"], sample["cap"]], axis=-1
+            ).astype(np.float32)
         flen = sample[self.conf["input_feat_type"]].shape[0]
         sample["flen"] = flen
         sample["mask"] = np.ones(flen, dtype=bool)[:, None]
@@ -191,11 +198,6 @@ class VCDataset:
         if "mcep" in self.features and not self.conf.get("use_mcep_0th", False):
             sample["mcep_0th"] = sample["mcep"][..., :1]
             sample["mcep"] = sample["mcep"][..., 1:]
-        if self.conf["output_feat_type"] == "excit":
-            sample["excit"] = np.concatenate(
-                [sample["lcf0"], sample["uv"], sample["cap"]], axis=-1
-            ).astype(np.float32)
-
         sample = self._zero_padding(sample)
         for m in ("encoder_mask", "decoder_mask", "cycle_encoder_mask",
                   "cycle_decoder_mask"):
@@ -399,7 +401,8 @@ class VectorizedLoader:
         if "mcep" in b and not ds.conf.get("use_mcep_0th", False):
             b["mcep_0th"] = b["mcep"][..., :1]
             b["mcep"] = b["mcep"][..., 1:]
-        if ds.conf["output_feat_type"] == "excit":
+        if "excit" in (ds.conf["input_feat_type"],
+                       ds.conf["output_feat_type"]):
             b["excit"] = np.concatenate(
                 [b["lcf0"], b["uv"], b["cap"]], axis=-1
             )

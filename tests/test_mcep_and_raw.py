@@ -337,3 +337,27 @@ def test_excit_vectorized_loader(mcep_corpus):
     assert b["out_feats"].shape[-1] == excit_dim
     np.testing.assert_allclose(b["out_feats"][..., :1], b["lcf0"])
     np.testing.assert_allclose(b["out_feats"][..., 1:2], b["uv"])
+
+def test_excit_as_input_feature(mcep_corpus):
+    """excit as the *input* feature type: __init__ prepared for it but
+    __getitem__ previously built the excit tensor only for the output
+    role, crashing with KeyError before the flen read (review finding)."""
+    excit_dim = 1 + 1 + 2
+    conf = make_conf(
+        input_feat_type="excit", output_feat_type="mcep",
+        input_size=excit_dim, output_size=MCEP_DIM, use_mcep_0th=False,
+        ignore_scaler=["raw", "mcep"],
+    )
+    ds = VCDataset(conf, mcep_corpus["scp"], mcep_corpus["scaler"],
+                   phase="train", seed=0)
+    sample = ds[0]
+    assert sample["in_feats"].shape == (BATCH_LEN, excit_dim)
+    np.testing.assert_allclose(sample["in_feats"][:, :1], sample["lcf0"])
+
+    from crank_tpu.train.dataset import VectorizedLoader
+    conf2 = dict(conf, cache_dataset=True)
+    ds2 = VCDataset(conf2, mcep_corpus["scp"], mcep_corpus["scaler"],
+                    phase="train", seed=0)
+    loader = VectorizedLoader(ds2, batch_size=BATCH_SIZE, seed=1)
+    b = next(iter(loader))
+    assert b["in_feats"].shape[-1] == excit_dim

@@ -281,3 +281,32 @@ def test_async_checkpoint_write_failure_surfaces(tmp_path):
     with pytest.raises(RuntimeError, match="NOT saved"):
         wait_pending()
     assert not p.exists()
+
+def test_streaming_zero_variance_bin_finite(tiny_setup):
+    """A constant (zero-variance) mlfb bin must not produce NaN: the
+    jit-folded normalization uses StandardScaler.scale_ (zero-variance
+    guard, features/scaler.py:22-27), matching the host transform path
+    (review finding: sqrt(var_) divided by 0 here)."""
+    conf, spkrs, _, models, params, ema = tiny_setup
+    rng = np.random.default_rng(17)
+    scaler = {"mlfb": StandardScaler(), "lcf0": StandardScaler()}
+    for s, mu in (("SF1", 5.2), ("SM1", 4.6), ("TF2", 5.4)):
+        lc = mu + 0.1 * rng.standard_normal((400, 1))
+        scaler[s] = {"lcf0": StandardScaler().partial_fit(lc)}
+        scaler["lcf0"].partial_fit(lc)
+    feats = rng.standard_normal((400, conf["input_size"]))
+    feats[:, -1] = -7.25  # constant bin (silence-floor mel band)
+    scaler["mlfb"].partial_fit(feats)
+    assert scaler["mlfb"].var_[-1] == 0.0
+
+    conv = StreamingConverter(
+        conf, len(spkrs), params["G"], ema, scaler, spkrs,
+        org_spkr="SF1", cv_spkr="SM1", chunk_frames=CHUNK,
+    )
+    mlfb = rng.standard_normal((CHUNK, conf["input_size"])).astype(np.float32)
+    mlfb[:, -1] = -7.25
+    lcf0 = np.full((CHUNK, 1), 5.1, np.float32)
+    uv = np.ones((CHUNK, 1), np.float32)
+    out = conv.push(mlfb, lcf0, uv)
+    assert np.all(np.isfinite(out["mlfb"]))
+    assert np.all(np.isfinite(out["f0"]))
