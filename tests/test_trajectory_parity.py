@@ -1,0 +1,219 @@
+"""K-step training-trajectory parity vs the reference implementation.
+
+The single-step parity tests (test_reference_parity.py) prove forwards,
+loss terms, gradients and one EMA update agree.  This test proves the
+*composition* — the reference VQVAETrainer.train() flow
+(trainer_vqvae.py:57-67,120-136,163-199):
+
+  1. G forward (EMA update #1) -> vqvae + GRL spkradv loss -> G Adam step
+  2. fresh G forward with the JUST-UPDATED weights (EMA update #2)
+     -> SPKRADV CE on detached encodings -> SPKRADV Adam step
+  3. C CE on in_feats -> C Adam step
+  4. StepLR.step() for every model on the global-step clock
+
+— stepped K times with per-step fresh batches against our single jitted
+step (train/steps.py StepFactory), asserting every loss term agrees at
+every step and the final parameters + EMA codebooks still match.
+
+The torch side runs the reference's own modules/losses with weight norm
+removed (our framework trains plain kernels; the weight-norm
+reparametrization is a documented deviation — docs/TODO.md).  Everything
+in float32 on CPU, so tolerances grow with K from optimizer drift.
+"""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from refparity import refenv, transfer
+from test_reference_parity import (
+    SPKR_SIZE,
+    _jax_batch,
+    _make_batch,
+    _torch_batch,
+    build_flax_g,
+    build_ref_g,
+    make_conf,
+)
+
+K_STEPS = 6
+
+
+def _trajectory_conf():
+    conf = make_conf()
+    conf["trainer_type"] = "vqvae"
+    # decay_step_size < K so the StepLR staircase fires mid-trajectory
+    conf["optim"] = {
+        m: {"type": "adam", "lr": 2e-4, "decay_step_size": 3,
+            "decay_size": 0.5, "clip_grad_norm": 0.5}
+        for m in ("G", "D", "C", "SPKRADV")
+    }
+    return conf
+
+
+def _ref_step_model(model, opt, loss_value, clip):
+    """trainer_vqvae.py step_model: zero_grad / backward / clip / step."""
+    opt.zero_grad()
+    loss_value.backward()
+    if clip != 0:
+        torch.nn.utils.clip_grad_norm_(model.parameters(), clip)
+    opt.step()
+
+
+def _ref_train_step(conf, refG, refADV, refC, harness, opts, scheds, tb):
+    """One reference train step (trainer_vqvae.train, phase='train')."""
+    loss = {"objective": 0.0, "G": 0.0, "D": 0.0, "C": 0.0, "SPKRADV": 0.0}
+    dec_h = torch.cat([tb["lcf0"], tb["uv"]], dim=-1)
+    spkrvec = tb["org_h"].clone()
+    spkrvec[:, :] = spkrvec[:, 0:1]
+    clip = conf["optim"]["G"]["clip_grad_norm"]
+
+    # --- forward_vqvae: G forward + vqvae/GRL losses + G step
+    out = refG.forward(tb["in_feats"], None, dec_h, spkrvec=spkrvec)
+    loss = harness.calculate_vqvae_loss(tb, out, loss)
+    loss = harness.calculate_spkradv_loss(tb, out, loss, label="org")
+    loss["objective"] = loss["objective"] + loss["G"]
+    _ref_step_model(refG, opts["G"], loss["G"], clip)
+
+    # --- forward_spkradv: fresh forward with updated G (EMA update #2)
+    out2 = refG.forward(tb["in_feats"], None, dec_h, spkrvec=spkrvec)
+    logits = refADV.forward(out2["encoded_unmod"], detach=True)
+    sp = harness.criterion["ce"](
+        logits.reshape(-1, logits.size(2)), tb["org_h"].reshape(-1)
+    )
+    loss["SPKRADV"] = conf["alpha"]["ce"] * sp
+    _ref_step_model(refADV, opts["SPKRADV"],
+                    loss["SPKRADV"], clip)
+
+    # --- forward_spkrclassifier
+    real = refC(tb["in_feats"].transpose(1, 2)).transpose(1, 2)
+    loss["C_real"] = harness.criterion["ce"](
+        real.reshape(-1, real.size(2)), tb["org_h"].reshape(-1)
+    )
+    loss["C"] = loss["C"] + conf["alpha"]["ce"] * loss["C_real"]
+    _ref_step_model(refC, opts["C"], loss["C"], clip)
+
+    for s in scheds.values():
+        s.step()
+    return loss
+
+
+def test_vqvae_training_trajectory_parity():
+    conf = _trajectory_conf()
+    refenv.load_reference()
+    from crank.bin.train import get_model as ref_get_model
+    from crank_tpu.train.factory import build_models, init_models
+    from crank_tpu.train.optim import make_optimizers
+    from crank_tpu.train.steps import Mode, StepFactory
+
+    # --- reference models (weight norm removed; train mode for EMA)
+    refG = build_ref_g(conf)
+    refG.train()
+    torch.manual_seed(23)
+    ref_models = ref_get_model(conf, spkr_size=SPKR_SIZE, device="cpu")
+    refADV, refC = ref_models["SPKRADV"], ref_models["C"]
+    refADV.classifier.remove_weight_norm()
+    refC.remove_weight_norm()
+    refADV.train()
+    refC.train()
+
+    harness = refenv.RefLossHarness(conf, {"G": refG, "SPKRADV": refADV})
+
+    ref_opts = {
+        "G": torch.optim.Adam(refG.parameters(),
+                              lr=conf["optim"]["G"]["lr"]),
+        "SPKRADV": torch.optim.Adam(refADV.parameters(),
+                                    lr=conf["optim"]["SPKRADV"]["lr"]),
+        "C": torch.optim.Adam(refC.parameters(),
+                              lr=conf["optim"]["C"]["lr"]),
+    }
+    ref_scheds = {
+        m: torch.optim.lr_scheduler.StepLR(
+            ref_opts[m],
+            step_size=conf["optim"][m]["decay_step_size"],
+            gamma=conf["optim"][m]["decay_size"],
+        )
+        for m in ref_opts
+    }
+
+    # --- our models with the reference's initial weights transferred in
+    modelG, variables = build_flax_g(conf, refG)
+    models = build_models(conf, SPKR_SIZE)
+    models["G"] = modelG
+    params, _ = init_models(models, conf, SPKR_SIZE, jax.random.PRNGKey(1),
+                            B=2, T=40)
+    params["G"] = variables["params"]
+    vADV = transfer.module_to_flax(
+        transfer.pwg_discriminator_to_flax, refADV.classifier,
+        {"params": params["SPKRADV"]}, prefix=("ConvDiscriminator_0",),
+    )
+    params["SPKRADV"] = vADV["params"]
+    vC = transfer.module_to_flax(
+        transfer.pwg_discriminator_to_flax, refC, {"params": params["C"]}
+    )
+    params["C"] = vC["params"]
+    models = {m: models[m] for m in ("G", "SPKRADV", "C")}
+    params = {m: params[m] for m in models}
+
+    opts = make_optimizers(conf, list(models))
+    factory = StepFactory(conf, models, opts, SPKR_SIZE)
+    step = factory.make_step(Mode(trainer_type="vqvae"))
+    state = {
+        "params": params,
+        "ema": variables["ema"],
+        "opt": {m: opts[m].init(params[m]) for m in models},
+    }
+
+    key = jax.random.PRNGKey(3)
+    loss_keys = (
+        ["G", "SPKRADV", "C", "G_l1", "G_mse", "G_stft", "G_spkradv_org"]
+        + [f"G_commit{n}" for n in range(conf["n_vq_stacks"])]
+    )
+    for k_step in range(K_STEPS):
+        batch = _make_batch(conf, seed=100 + k_step)
+        tb = _torch_batch(batch)
+        jb = _jax_batch(batch)
+
+        ref_loss = _ref_train_step(conf, refG, refADV, refC, harness,
+                                   ref_opts, ref_scheds, tb)
+        key, k = jax.random.split(key)
+        state, j_loss = step(state, jb, k)
+        j_loss = jax.device_get(j_loss)
+
+        # float32 Adam trajectories drift a little more every step
+        tol = 3e-4 * (1 + k_step)
+        for lk in loss_keys:
+            r = float(ref_loss[lk])
+            j = float(j_loss[lk])
+            assert abs(r - j) < tol * max(1.0, abs(r)), (
+                f"step {k_step}: loss[{lk}] ref {r} vs jax {j} "
+                f"(tol {tol})"
+            )
+
+    # --- final state agreement: re-transfer the trained torch weights and
+    # compare against our trained parameters + EMA buffers
+    refG.eval()
+    final = transfer.vqvae2_to_flax(
+        refG, {"params": state["params"]["G"], "ema": state["ema"]}
+    )
+    flat_ref = jax.tree_util.tree_leaves_with_path(final["params"])
+    flat_our = dict(jax.tree_util.tree_leaves_with_path(
+        state["params"]["G"]
+    ))
+    worst = 0.0
+    for path, ref_leaf in flat_ref:
+        ours = flat_our[path]
+        worst = max(worst, float(np.max(np.abs(
+            np.asarray(ref_leaf) - np.asarray(ours)
+        ))))
+    assert worst < 5e-3, f"trained G params diverged: max abs {worst}"
+
+    for n in range(conf["n_vq_stacks"]):
+        q = refG.quantizers[n]
+        e = state["ema"][f"quantizer_{n}"]
+        np.testing.assert_allclose(
+            q.embedding.weight.detach().numpy(), np.asarray(e["codebook"]),
+            atol=5e-3, err_msg=f"codebook[{n}] after {K_STEPS} steps",
+        )
