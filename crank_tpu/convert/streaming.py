@@ -122,8 +122,15 @@ class StreamingConverter:
         encoder_f0 = bool(conf["encoder_f0"])
         decoder_f0 = bool(conf["decoder_f0"])
 
+        # single packed input [mlfb, lcf0, uv] and packed output
+        # [mlfb, f0]: over a tunneled device each independent host<->device
+        # transfer costs a full round trip (~27 ms measured), so the step
+        # takes ONE array in and returns ONE array out
         @jax.jit
-        def _step(params, ema, cache, mlfb_raw, lcf0_raw, uv):
+        def _step(params, ema, cache, packed):
+            mlfb_raw = packed[..., :-2]
+            lcf0_raw = packed[..., -2:-1]
+            uv = packed[..., -1:]
             x = (mlfb_raw - mlfb_mean) / mlfb_std
             # statistics-based F0 conversion in the raw log domain, then
             # global-scaler normalization (dsp/f0_utils.convert_f0 +
@@ -149,7 +156,7 @@ class StreamingConverter:
             )
             out_mlfb = out["decoded"] * mlfb_std + mlfb_mean
             f0 = jnp.exp(cv_lcf0) * uv
-            return out_mlfb, f0, newv["cache"]
+            return jnp.concatenate([out_mlfb, f0], axis=-1), newv["cache"]
 
         self._step = _step
 
@@ -230,14 +237,32 @@ class StreamingConverter:
                 f"chunk must be exactly {self.chunk_frames} frames "
                 f"(got {mlfb.shape[1]}); pad the final chunk"
             )
-        out_mlfb, f0, self.cache = self._step(
-            self._params, self._ema, self.cache, mlfb, lcf0_raw, uv
+        packed_out = self.push_async(mlfb, lcf0_raw, uv)
+        return self.fetch(packed_out, uv)
+
+    def push_async(self, mlfb, lcf0_raw, uv):
+        """Dispatch one chunk WITHOUT waiting for the result.
+
+        Returns the on-device packed output ``[.., T, D+1]`` =
+        ``[mlfb, f0]``; pass it to :meth:`fetch` (possibly from another
+        thread) to materialize.  The conv-state cache advances
+        immediately, so chunks may be pipelined back-to-back — the
+        device-to-host readback of chunk *k* then overlaps the model step
+        of chunk *k+1*, hiding one transfer round trip per chunk on
+        tunneled/remote devices."""
+        packed = np.concatenate([mlfb, lcf0_raw, uv], axis=-1)
+        packed_out, self.cache = self._step(
+            self._params, self._ema, self.cache, packed
         )
-        return {
-            "mlfb": np.asarray(out_mlfb),
-            "f0": np.asarray(f0),
-            "uv": uv,
-        }
+        return packed_out
+
+    def fetch(self, packed_out, uv=None):
+        """Materialize a :meth:`push_async` result on the host."""
+        arr = np.asarray(packed_out)
+        out = {"mlfb": arr[..., :-1], "f0": arr[..., -1:]}
+        if uv is not None:
+            out["uv"] = uv
+        return out
 
 
 def causal_hold_continuous_f0(
