@@ -217,3 +217,174 @@ def test_vqvae_training_trajectory_parity():
             q.embedding.weight.detach().numpy(), np.asarray(e["codebook"]),
             atol=5e-3, err_msg=f"codebook[{n}] after {K_STEPS} steps",
         )
+
+def test_lsgan_training_trajectory_parity():
+    """Same K-step trajectory proof for the GAN phase
+    (trainer_lsgan.py:59-146): per step update_G (vqvae + GRL + cvadv
+    adversarial loss through D, 2nd G forward with use_ema semantics),
+    update_D (3rd G forward, real/fake LSGAN terms on detached decodes),
+    then the SPKRADV and C steps — all four optimizers advancing."""
+    conf = _trajectory_conf()
+    conf["trainer_type"] = "lsgan"
+    conf["cvadv_flag"] = True
+    conf["encoder_detach"] = False
+    conf["train_first"] = "G"
+    conf["n_steps_gan_start"] = 0
+    conf["n_steps_stop_generator"] = 0
+
+    refenv.load_reference()
+    from crank.bin.train import get_model as ref_get_model
+    from crank_tpu.train.factory import build_models, init_models
+    from crank_tpu.train.optim import make_optimizers
+    from crank_tpu.train.steps import Mode, StepFactory
+
+    refG = build_ref_g(conf)
+    refG.train()
+    torch.manual_seed(23)
+    ref_models = ref_get_model(conf, spkr_size=SPKR_SIZE, device="cpu")
+    refADV, refC, refD = (ref_models["SPKRADV"], ref_models["C"],
+                          ref_models["D"])
+    refADV.classifier.remove_weight_norm()
+    refC.remove_weight_norm()
+    refD.remove_weight_norm()
+    for m in (refADV, refC, refD):
+        m.train()
+
+    harness = refenv.RefLSGANHarness(
+        conf, {"G": refG, "D": refD, "SPKRADV": refADV}, SPKR_SIZE
+    )
+
+    ref_opts = {
+        name: torch.optim.Adam(mod.parameters(),
+                               lr=conf["optim"][name]["lr"])
+        for name, mod in (("G", refG), ("SPKRADV", refADV), ("C", refC),
+                          ("D", refD))
+    }
+    ref_scheds = {
+        m: torch.optim.lr_scheduler.StepLR(
+            ref_opts[m],
+            step_size=conf["optim"][m]["decay_step_size"],
+            gamma=conf["optim"][m]["decay_size"],
+        )
+        for m in ref_opts
+    }
+
+    modelG, variables = build_flax_g(conf, refG)
+    models = build_models(conf, SPKR_SIZE)
+    models["G"] = modelG
+    params, _ = init_models(models, conf, SPKR_SIZE, jax.random.PRNGKey(1),
+                            B=2, T=40)
+    params["G"] = variables["params"]
+    params["SPKRADV"] = transfer.module_to_flax(
+        transfer.pwg_discriminator_to_flax, refADV.classifier,
+        {"params": params["SPKRADV"]}, prefix=("ConvDiscriminator_0",),
+    )["params"]
+    params["C"] = transfer.module_to_flax(
+        transfer.pwg_discriminator_to_flax, refC, {"params": params["C"]}
+    )["params"]
+    params["D"] = transfer.module_to_flax(
+        transfer.pwg_residual_discriminator_to_flax, refD,
+        {"params": params["D"]},
+    )["params"]
+
+    opts = make_optimizers(conf, list(models))
+    factory = StepFactory(conf, models, opts, SPKR_SIZE)
+    step = factory.make_step(Mode(trainer_type="lsgan", gan_flag=True))
+    state = {
+        "params": params,
+        "ema": variables["ema"],
+        "opt": {m: opts[m].init(params[m]) for m in models},
+    }
+
+    clip = conf["optim"]["G"]["clip_grad_norm"]
+    key = jax.random.PRNGKey(3)
+    loss_keys = ["G", "D", "SPKRADV", "C", "G_l1", "G_stft",
+                 "G_spkradv_org", "D_adv", "D_real", "D_fake"]
+    from test_reference_parity import _make_cycle_batch
+
+    for k_step in range(K_STEPS):
+        batch = _make_cycle_batch(conf, seed=300 + k_step)
+        tb = _torch_batch(batch)
+        jb = _jax_batch(batch)
+        dec_h = torch.cat([tb["lcf0"], tb["uv"]], dim=-1)
+        dec_h_cv = torch.cat([tb["cv_lcf0"], tb["uv"]], dim=-1)
+        spkrvec = tb["org_h"].clone()
+        spkrvec[:, :] = spkrvec[:, 0:1]
+        spkrvec_cv = tb["cv_h"].clone()
+        spkrvec_cv[:, :] = spkrvec_cv[:, 0:1]
+
+        loss = {"objective": 0.0, "G": 0.0, "D": 0.0, "C": 0.0,
+                "SPKRADV": 0.0}
+        # --- update_G (trainer_lsgan.py:84-113)
+        out = refG.forward(tb["in_feats"], None, dec_h, spkrvec)
+        loss = harness.calculate_vqvae_loss(tb, out, loss)
+        loss = harness.calculate_spkradv_loss(tb, out, loss, label="org")
+        adv_out = refG.forward(
+            tb["in_feats"], None, dec_h_cv, spkrvec=spkrvec_cv,
+            use_ema=not conf["encoder_detach"],
+            encoder_detach=conf["encoder_detach"],
+        )
+        loss = harness.calculate_adv_loss(
+            tb, adv_out["decoded"], tb["cv_h"], tb["decoder_mask"], loss
+        )
+        _ref_step_model(refG, ref_opts["G"], loss["G"], clip)
+
+        # --- update_D (trainer_lsgan.py:115-143)
+        out_d = refG.forward(tb["in_feats"], None, dec_h_cv, spkrvec_cv)
+        real = refD(harness.get_D_inputs(
+            tb, tb["in_feats"], label="org").transpose(1, 2)).transpose(1, 2)
+        loss = harness.calculate_discriminator_loss(
+            real, tb["org_h"], tb["decoder_mask"], loss, label="real"
+        )
+        fake = refD(harness.get_D_inputs(
+            tb, out_d["decoded"].detach(), label="cv"
+        ).transpose(1, 2)).transpose(1, 2)
+        loss = harness.calculate_discriminator_loss(
+            fake, tb["cv_h"], tb["decoder_mask"], loss, label="fake"
+        )
+        _ref_step_model(refD, ref_opts["D"], loss["D"], clip)
+        loss["objective"] = loss["G"] + loss["D"]
+
+        # --- forward_spkradv + forward_spkrclassifier (base flow)
+        out2 = refG.forward(tb["in_feats"], None, dec_h, spkrvec=spkrvec)
+        logits = refADV.forward(out2["encoded_unmod"], detach=True)
+        sp = harness.criterion["ce"](
+            logits.reshape(-1, logits.size(2)), tb["org_h"].reshape(-1)
+        )
+        loss["SPKRADV"] = conf["alpha"]["ce"] * sp
+        _ref_step_model(refADV, ref_opts["SPKRADV"], loss["SPKRADV"], clip)
+        realc = refC(tb["in_feats"].transpose(1, 2)).transpose(1, 2)
+        loss["C_real"] = harness.criterion["ce"](
+            realc.reshape(-1, realc.size(2)), tb["org_h"].reshape(-1)
+        )
+        loss["C"] = loss["C"] + conf["alpha"]["ce"] * loss["C_real"]
+        _ref_step_model(refC, ref_opts["C"], loss["C"], clip)
+        for s in ref_scheds.values():
+            s.step()
+
+        key, k = jax.random.split(key)
+        state, j_loss = step(state, jb, k)
+        j_loss = jax.device_get(j_loss)
+
+        tol = 4e-4 * (1 + k_step)
+        for lk in loss_keys:
+            r, j = float(loss[lk]), float(j_loss[lk])
+            assert abs(r - j) < tol * max(1.0, abs(r)), (
+                f"step {k_step}: loss[{lk}] ref {r} vs jax {j} (tol {tol})"
+            )
+
+    refG.eval()
+    final = transfer.vqvae2_to_flax(
+        refG, {"params": state["params"]["G"], "ema": state["ema"]}
+    )
+    flat_our = dict(jax.tree_util.tree_leaves_with_path(
+        state["params"]["G"]
+    ))
+    worst = 0.0
+    for path, ref_leaf in jax.tree_util.tree_leaves_with_path(
+        final["params"]
+    ):
+        worst = max(worst, float(np.max(np.abs(
+            np.asarray(ref_leaf) - np.asarray(flat_our[path])
+        ))))
+    assert worst < 5e-3, f"trained G params diverged: max abs {worst}"
