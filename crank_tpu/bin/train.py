@@ -82,6 +82,23 @@ def main():
         resume = payload["steps"]
         rng_key = payload.get("rng")
         opts = make_optimizers(conf, list(models.keys()))
+        missing = [m for m in models if m not in params]
+        if missing:
+            # warm-start: e.g. resuming a vqvae-pretrain checkpoint under
+            # an lsgan/cyclegan/stargan conf, where D did not exist yet.
+            # Fresh-init the missing sub-models; their optimizers start at
+            # count 0 (the StepLR step_offset keeps decay on the global
+            # clock).  The reference has no equivalent — it must train
+            # all phases in a single run.
+            logging.info("fresh-init sub-models missing from the "
+                         "checkpoint: %s", missing)
+            fresh_params, _ = init_models(
+                models, conf, spkr_size, jax.random.PRNGKey(1234),
+                T=dataloaders["batch_len"],
+            )
+            for m in missing:
+                params[m] = fresh_params[m]
+                opt[m] = opts[m].init(params[m])
     else:
         params, ema = init_models(
             models, conf, spkr_size, jax.random.PRNGKey(1234),

@@ -271,7 +271,9 @@ class VectorizedLoader:
         for i in range(n):
             r = ds._read(i)
             raws.append(r)
-            flens[i] = r[ds.conf["input_feat_type"]].shape[0]
+            # lcf0 is always extracted and frame-synchronous with every
+            # feature; the input type itself may be derived (excit)
+            flens[i] = r["lcf0"].shape[0]
             for k in feats:
                 dims[k] = r[k].shape[1]
         tmax = max(int(flens.max()), self.L)

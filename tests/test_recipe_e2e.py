@@ -70,10 +70,10 @@ def recipe(tmp_path_factory):
     return root
 
 
-def run_stages(recipe, stage, stop, extra=()):
+def run_stages(recipe, stage, stop, extra=(), conf="conf/tiny_vqvae.yml"):
     cmd = [
         sys.executable, "-m", "crank_tpu.bin.run",
-        "--recipe", str(recipe), "--conf", "conf/tiny_vqvae.yml",
+        "--recipe", str(recipe), "--conf", conf,
         "--stage", str(stage), "--stop_stage", str(stop),
         "--n_jobs", "2", "--voc", "GL",
         "--dev_utterances", "1", "--eval_utterances", "1",
@@ -150,3 +150,33 @@ def test_array_job_fanout_matches_single_job(recipe):
     assert (outdir / "mcd_utt.log.2").exists()
     merged_mcd = (outdir / "mcd.log").read_text()
     assert merged_mcd == single_mcd
+
+
+@pytest.mark.slow
+def test_warm_start_gan_resume(recipe):
+    """Resuming a vqvae-pretrain checkpoint under an lsgan conf
+    fresh-initializes the missing D (train.py warm-start) and trains the
+    GAN phase — the reference must run all phases in one process.
+
+    Runs after test_full_recipe on the module-scoped recipe fixture."""
+    vq_ckpts = sorted((recipe / "exp/tiny_vqvae").glob(
+        "checkpoint_*steps.pkl"
+    ))
+    assert vq_ckpts  # test_full_recipe ran first
+    with open(recipe / "conf/tiny_lsgan.yml", "w") as fp:
+        yaml.safe_dump(
+            {"trainer_type": "lsgan", "n_steps": 4,
+             "n_steps_gan_start": 2, "n_steps_save_model": 4}, fp,
+        )
+    run_stages(recipe, 3, 3,
+               extra=("--resume_checkpoint", str(vq_ckpts[-1])),
+               conf="conf/tiny_lsgan.yml")
+    expdir = recipe / "exp/tiny_lsgan"
+    ck = list(expdir.glob("checkpoint_*steps.pkl"))
+    assert ck, list(expdir.iterdir())
+    import pickle
+
+    with open(sorted(ck)[-1], "rb") as fp:
+        payload = pickle.load(fp)
+    assert "D" in payload["params"]  # fresh-initialized and trained
+    assert payload["steps"] > 2
