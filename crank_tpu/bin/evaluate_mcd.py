@@ -88,7 +88,10 @@ def main():
         )
 
     if conf["output_feat_type"] == "mcep":
-        converted_files = sorted(Path(args.outwavdir).glob("*.h5"))
+        # decoded dumps live under per-speaker subdirs (trainer layout);
+        # the synthesized wav/ sibling holds no h5, so a recursive glob
+        # over the dump root is unambiguous
+        converted_files = sorted(Path(args.outwavdir).rglob("*.h5"))
     else:
         converted_files = sorted(Path(args.outwavdir).rglob("*.wav"))
     converted_files = converted_files[args.job_index - 1::args.n_splits]

@@ -272,10 +272,19 @@ def main():
         (outdir / "wav").mkdir(parents=True, exist_ok=True)
         eval_wav = expdir / confname / "eval_wav" / n_decode_steps
         if feat_type == "mcep":
-            # WORLD synthesis already produced wavs at decode time when
-            # save_decoded; the GL/PWG stage applies to the mlfb path
-            pass
-        if args.voc == "GL":
+            # WORLD synthesis from the decoded [mcep, f0, cap(, rmcep)]
+            # dumps.  The reference's run.sh runs GL here regardless of
+            # feat_type, which cannot work on mel-cepstra (mlfb basis
+            # shape mismatch, template/run.sh:183-190) — its mcep eval
+            # wavs never exist; we synthesize them with the native WORLD
+            # synthesizer so stage 7's MOSnet has inputs
+            run_cmd(
+                py + ["crank_tpu.bin.world_synthesis", "--n_jobs",
+                      args.n_jobs, "--conf", conf, "--rootdir", eval_wav,
+                      "--outdir", outdir / "wav"],
+                outdir / "world_synthesis.log", L, env,
+            )
+        elif args.voc == "GL":
             run_cmd(
                 py + ["crank_tpu.bin.griffin_lim", "--n_jobs", args.n_jobs,
                       "--conf", conf, "--rootdir", eval_wav,
@@ -372,9 +381,14 @@ def main():
 
     if stage_in(7):
         print("stage 7: evaluation")
+        # mcep MCD reads the decoded [mcep, f0] h5 dumps directly (no
+        # vocoder round-trip, reference evaluate_mcd.py:52-57); mlfb MCD
+        # re-analyzes the synthesized wavs
+        mcd_src = (expdir / confname / "eval_wav" / n_decode_steps
+                   if feat_type == "mcep" else outdir / "wav")
         mcd_base = py + ["crank_tpu.bin.evaluate_mcd", "--conf", conf,
                          "--n_jobs", args.n_jobs, "--spkr_conf", spkr_yml,
-                         "--outwavdir", outdir / "wav", "--featdir", featdir]
+                         "--outwavdir", mcd_src, "--featdir", featdir]
         npar = args.n_parallel_jobs
         if npar > 1:
             run_array(

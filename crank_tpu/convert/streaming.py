@@ -137,9 +137,18 @@ class StreamingConverter:
             # scaler["lcf0"].transform, both affine)
             cv_lcf0 = (lcf0_raw - f0_m_org) / f0_s_org * f0_s_cv + f0_m_cv
             cv_n = (cv_lcf0 - lcf0_mean) / lcf0_std
-            f0_cond = jnp.concatenate([cv_n, uv], axis=-1)
-            enc_h = f0_cond if encoder_f0 else None
-            dec_f0 = f0_cond if decoder_f0 else None
+            # encoder conditioning stays on the ORG speaker's F0 — the
+            # reference's dev/eval decode calls _get_enc_h(batch) without
+            # cv flags (trainer_vqvae.py:75,107); only dec_h switches
+            org_n = (lcf0_raw - lcf0_mean) / lcf0_std
+            enc_h = (
+                jnp.concatenate([org_n, uv], axis=-1) if encoder_f0
+                else None
+            )
+            dec_f0 = (
+                jnp.concatenate([cv_n, uv], axis=-1) if decoder_f0
+                else None
+            )
             if onehot_c is None:
                 dec_h, spkrvec = dec_f0, spkrvec_c
             else:
@@ -169,23 +178,26 @@ class StreamingConverter:
     def _condition(self, lcf0_raw, uv):
         """Build (enc_h, dec_h, spkrvec) from raw log-F0 + voicing.
 
-        Matches the offline conversion path: with an explicit target
-        speaker, *both* encoder and decoder F0 conditioning use the
-        statistics-transformed target lcf0, normalized by the global
-        scaler (reference basetrainer._get_enc_h/_get_f0_condition with
-        cv_spkr_name set, basetrainer.py:253-258,277-283; this repo's
-        trainer._convert_batch + steps.enc_h(use_cvfeats=True)).
+        Matches the offline conversion path: the decoder's F0
+        conditioning uses the statistics-transformed target lcf0,
+        normalized by the global scaler, while the ENCODER stays on the
+        org speaker's normalized lcf0 (reference dev/eval calls
+        _get_enc_h(batch) without cv flags, trainer_vqvae.py:75,107;
+        this repo's trainer._convert_batch + steps.make_forward with
+        enc_cvfeats=False).
         """
         conf, scaler = self.conf, self.scaler
         B, T = lcf0_raw.shape[:2]
         cv_lcf0_n = np.empty_like(lcf0_raw)
+        org_lcf0_n = np.empty_like(lcf0_raw)
         for b in range(B):
             cv_lcf0_n[b] = scaler["lcf0"].transform(
                 convert_f0(scaler, lcf0_raw[b], self.org_spkr, self.cv_spkr)
             )
+            org_lcf0_n[b] = scaler["lcf0"].transform(lcf0_raw[b])
         uv = np.asarray(uv, np.float32)
         enc_h = (
-            np.concatenate([cv_lcf0_n, uv], axis=-1).astype(np.float32)
+            np.concatenate([org_lcf0_n, uv], axis=-1).astype(np.float32)
             if conf["encoder_f0"]
             else None
         )

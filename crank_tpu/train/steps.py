@@ -663,7 +663,13 @@ class StepFactory:
 
         @jax.jit
         def fwd(params, ema, batch):
-            args = self._g_args(batch, use_cvfeats=use_cvfeats)
+            # encoder F0 conditioning stays on the ORG speaker even when
+            # decoding toward an explicit cv target: the reference's
+            # dev/eval flow calls _get_enc_h(batch) with neither
+            # use_cvfeats nor cv_spkr_name (trainer_vqvae.py:75,107) —
+            # only dec_h switches to the target
+            args = self._g_args(batch, use_cvfeats=use_cvfeats,
+                                enc_cvfeats=False)
             outs, _ = self.g_forward(
                 params["G"], ema, args, train=False
             )

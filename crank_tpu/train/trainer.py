@@ -491,10 +491,14 @@ class Trainer:
     def _save_decoded_to_hdf5(self, feats):
         keys = ["feats", "normed_feat", "f0", "lcf0", "normed_lcf0", "uv"]
         if self.conf["output_feat_type"] == "mcep":
+            # cap (+ rmcep when differential synthesis applies) let
+            # bin/world_synthesis.py re-synthesize the dump standalone
             keys += ["cap"]
         for path, feat in feats.items():
             for k in keys:
                 feat2hdf5(feat[k], path, ext=k)
+            if feat.get("rmcep") is not None:
+                feat2hdf5(feat["rmcep"], path, ext="rmcep")
 
     def _save_decoded_mlfb(self, feats):
         from crank_tpu.dsp.gl import mlfb_to_wav

@@ -111,3 +111,37 @@ def test_naming_contract_roundtrip():
     p = parse_decoded_stem(stem + "_gen")
     assert p.gen and p.uid == "utt_01_x"
     assert parse_decoded_stem("no_markers_here") is None
+
+
+def test_world_synthesis(tmp_path):
+    """bin/world_synthesis re-synthesizes a decoded mcep h5 dump (the
+    stage-6 WORLD role, standalone)."""
+    from crank_tpu.features.store import write_features
+    from crank_tpu.native import world
+
+    fs, fftl = 22050, 1024
+    rng = np.random.default_rng(0)
+    t = np.arange(int(0.4 * fs)) / fs
+    x = 0.4 * np.sin(2 * np.pi * 150 * t) + 0.01 * rng.standard_normal(len(t))
+    f0, spc, ap = world.analyze(x, fs, fftl=fftl, minf0=70, maxf0=340)
+    mcep = world.sp2mc(spc, dim=34, alpha=0.466)
+    cap = world.code_aperiodicity(ap, fs, fftl)
+
+    dump = tmp_path / "dump" / "spkA"
+    dump.mkdir(parents=True)
+    write_features(dump / "u1_org-spkA_cv-spkB.h5",
+                   {"feats": mcep, "f0": f0, "cap": cap, "rmcep": mcep})
+    conf = tmp_path / "conf.yml"
+    conf.write_text(yaml.safe_dump({"feature": {
+        "fs": fs, "fftl": fftl, "shiftms": 5.0, "mcep_alpha": 0.466,
+    }}))
+
+    out = tmp_path / "wav"
+    _run("world_synthesis", "--conf", conf,
+         "--rootdir", tmp_path / "dump", "--outdir", out)
+    wavf = out / "spkA" / "u1_org-spkA_cv-spkB.wav"
+    assert wavf.exists()
+    from crank_tpu.utils.audio_io import read_wav
+    y, fs2 = read_wav(wavf)
+    assert fs2 == fs and np.isfinite(y).all()
+    assert np.sqrt(np.mean(np.asarray(y, np.float64) ** 2)) > 0.01

@@ -180,3 +180,43 @@ def test_warm_start_gan_resume(recipe):
         payload = pickle.load(fp)
     assert "D" in payload["params"]  # fresh-initialized and trained
     assert payload["steps"] > 2
+
+
+@pytest.mark.slow
+def test_full_recipe_mcep(recipe):
+    """mcep (WORLD path) stages 3->7: train with mcep in/out, decode h5
+    dumps with cap+rmcep, stage-6 WORLD synthesis of eval wavs via
+    bin/world_synthesis, stage-7 MCD straight from the decoded dumps
+    (reference evaluate_mcd.py:52-57; its run.sh stage 6 runs GL on mcep
+    and cannot produce these wavs).
+
+    Reuses the module recipe's stage-2 features (the h5s carry mcep/cap
+    regardless of the training conf).  Runs after test_full_recipe."""
+    featdir = recipe / "data/feature/mlfb"
+    assert (featdir / "scaler.pkl").exists()  # test_full_recipe ran first
+    with open(recipe / "conf/tiny_mcep.yml", "w") as fp:
+        yaml.safe_dump({
+            "trainer_type": "vqvae", "input_feat_type": "mcep",
+            "output_feat_type": "mcep", "input_size": 19, "output_size": 19,
+            "use_mcep_0th": False, "ignore_scaler": ["mcep"],
+        }, fp)
+    run_stages(recipe, 3, 3, conf="conf/tiny_mcep.yml")
+    expdir = recipe / "exp/tiny_mcep"
+    assert list(expdir.glob("checkpoint_*steps.pkl"))
+
+    run_stages(recipe, 5, 7, conf="conf/tiny_mcep.yml")
+    outdir = expdir / "eval_wav" / "2"
+    h5s = list(outdir.rglob("*.h5"))
+    assert len(h5s) == 9
+    import h5py
+
+    with h5py.File(sorted(h5s)[0], "r") as fp:
+        assert "cap" in fp and "rmcep" in fp
+        assert fp["feats"].shape[1] == 20  # 0th re-attached
+    wavs = list((outdir / "wav").rglob("*.wav"))
+    assert len(wavs) == 9
+    mcd_lines = (outdir / "mcd.log").read_text().strip().splitlines()
+    assert len(mcd_lines) == 9
+    for line in mcd_lines:
+        val = float(line.split()[-1])
+        assert np.isnan(val) or 0 < val < 500

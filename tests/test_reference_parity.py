@@ -874,3 +874,32 @@ def test_stargan_d_loss_parity(updates):
 
     for k in ("D_real", "D_fake", "D"):
         _assert_close(loss_t[k], lo[k], 2e-4, f"stargan D loss[{k}]")
+
+
+def test_eval_decode_conditioning_parity():
+    """Eval/dev conversion decode: the reference conditions the ENCODER on
+    the org speaker's F0 while only dec_h switches to the explicit cv
+    target (trainer_vqvae.py:106-110 + basetrainer._get_enc_h without cv
+    flags).  Our make_forward(use_cvfeats=True) must reproduce that —
+    review finding: enc_cvfeats used to follow use_cvfeats."""
+    conf = make_conf(encoder_f0=True)
+    conf["trainer_type"] = "vqvae"
+    ref = build_ref_g(conf)
+    model, variables = build_flax_g(conf, ref)
+    batch = _make_cycle_batch(conf, seed=77)
+
+    # reference eval flow: enc_h from org lcf0, dec_h/spkrvec from cv
+    tb = _torch_batch(batch)
+    enc_h = torch.cat([tb["lcf0"], tb["uv"]], dim=-1)
+    dec_h = torch.cat([tb["cv_lcf0"], tb["uv"]], dim=-1)
+    spkrvec_cv = tb["cv_h"].clone()
+    spkrvec_cv[:, :] = spkrvec_cv[:, 0:1]
+    with torch.no_grad():
+        ro = ref.forward(tb["in_feats"], enc_h, dec_h, spkrvec=spkrvec_cv)
+
+    factory = _flax_step_factory(conf, model)
+    fwd = factory.make_forward(use_cvfeats=True)
+    decoded = fwd(
+        {"G": variables["params"]}, variables.get("ema"), _jax_batch(batch)
+    )
+    _assert_close(ro["decoded"], decoded, 1e-4, "eval decode (org enc_h)")
