@@ -7,29 +7,43 @@ global-norm gradient clipping (clip inside the chain, matching
 trainer_vqvae.py:200-208).
 
 Decay-clock parity: the reference steps every model's StepLR once per
-*global* training step (basetrainer), while optax schedules count that
-model's *updates*.  For models whose updates start late (D begins at
-``n_steps_gan_start``) the two clocks would diverge whenever
-``decay_step_size < n_steps``; ``step_offset`` re-anchors the schedule to
-the global-step clock (update count + offset == 0-based global step).
+*global* training step (basetrainer._step_update:239-247), while optax
+schedules count that model's *updates*.  Two cases diverge whenever
+``decay_step_size < n_steps``:
+
+* late start — D's first update happens at global step
+  ``n_steps_gan_start + 1`` (gan_flag flips after the post-increment
+  check, trainer_lsgan.py:184-185 ≡ trainer._mode) but its StepLR has
+  been stepping since step 0; ``step_offset`` re-anchors the schedule
+  (update count + offset == 0-based global step).
+* update gap — G skips its updates during the stop-generator window
+  (global steps gan_start+1 .. gan_start+stop, trainer_lsgan.py:111)
+  while its StepLR keeps stepping; ``gap_at``/``gap_len`` add the
+  skipped steps back once the count passes the freeze point.
 """
 
 import optax
 
 
-def _schedule(lr, decay_step_size, decay_size, step_offset=0):
+def _schedule(lr, decay_step_size, decay_size, step_offset=0,
+              gap_at=None, gap_len=0):
     """StepLR staircase on the global-step clock.
 
-    lr(count) = lr * decay_size ** ((count + step_offset) // decay_step_size)
+    lr(count) = lr * decay_size ** (eff // decay_step_size) with
+    eff = count + step_offset + gap_len * (count >= gap_at): the model's
+    update count mapped back to the 0-based global step it executes at.
     """
 
     def sched(count):
-        return lr * decay_size ** ((count + step_offset) // decay_step_size)
+        eff = count + step_offset
+        if gap_at is not None and gap_len:
+            eff = eff + gap_len * (count >= gap_at)
+        return lr * decay_size ** (eff // decay_step_size)
 
     return sched
 
 
-def make_optimizer(optim_conf, step_offset=0):
+def make_optimizer(optim_conf, step_offset=0, gap_at=None, gap_len=0):
     """optim_conf: {"type", "lr", "decay_size", "decay_step_size",
     "clip_grad_norm"} (one model's block of conf["optim"])."""
     sched = _schedule(
@@ -37,6 +51,8 @@ def make_optimizer(optim_conf, step_offset=0):
         optim_conf.get("decay_step_size", 200000),
         optim_conf.get("decay_size", 0.5),
         step_offset,
+        gap_at,
+        gap_len,
     )
     kind = optim_conf.get("type", "adam")
     if kind == "adam":
@@ -53,21 +69,39 @@ def make_optimizer(optim_conf, step_offset=0):
     return base
 
 
+_GAN_TRAINERS = ("lsgan", "cyclegan", "stargan")
+
+
 def step_offsets(conf, model_names):
     """Per-model global-step offsets: D's first update happens at global
-    step n_steps_gan_start (trainer_lsgan.py:183-192), so its schedule is
-    shifted to keep StepLR parity with the reference's global clock.
-    G/C/SPKRADV update from step 0 (offset 0)."""
+    step n_steps_gan_start + 1 (gan_flag flips after the post-increment
+    step check, trainer_lsgan.py:183-192 ≡ trainer._mode), so its
+    schedule is shifted to keep StepLR parity with the reference's
+    global clock.  G/C/SPKRADV update from step 0 (offset 0)."""
     offsets = {m: 0 for m in model_names}
-    if "D" in offsets and conf.get("trainer_type") in (
-        "lsgan", "cyclegan", "stargan"
-    ):
-        offsets["D"] = int(conf.get("n_steps_gan_start", 0))
+    if "D" in offsets and conf.get("trainer_type") in _GAN_TRAINERS:
+        offsets["D"] = int(conf.get("n_steps_gan_start", 0)) + 1
     return offsets
+
+
+def schedule_gaps(conf, model_names):
+    """Per-model (gap_at, gap_len): G skips its updates during the
+    stop-generator window (global steps gan_start+1 .. gan_start+stop,
+    trainer_lsgan.py:111,186-192) while the reference steps its StepLR
+    anyway — G's count reaches gan_start+1 right when the freeze begins,
+    and every later update executes gap_len global steps later than its
+    count says."""
+    gaps = {m: (None, 0) for m in model_names}
+    stop = int(conf.get("n_steps_stop_generator", 0) or 0)
+    if stop and "G" in gaps and conf.get("trainer_type") in _GAN_TRAINERS:
+        gaps["G"] = (int(conf.get("n_steps_gan_start", 0)) + 1, stop)
+    return gaps
 
 
 def make_optimizers(conf, model_names):
     offs = step_offsets(conf, model_names)
+    gaps = schedule_gaps(conf, model_names)
     return {
-        m: make_optimizer(conf["optim"][m], offs[m]) for m in model_names
+        m: make_optimizer(conf["optim"][m], offs[m], *gaps[m])
+        for m in model_names
     }

@@ -21,7 +21,9 @@ import torch
 
 import jax.numpy as jnp
 
-from crank_tpu.train.optim import make_optimizer, step_offsets
+from crank_tpu.train.optim import (
+    make_optimizer, schedule_gaps, step_offsets,
+)
 
 N_STEPS = 9
 SHAPE = (4, 3)
@@ -129,9 +131,137 @@ def test_radam_parity():
 
 def test_step_offsets_config():
     """Only GAN-family trainers offset D; vqvae (no D updates gated) and
-    non-D models stay on the zero offset."""
+    non-D models stay on the zero offset.  D's first update executes at
+    global step n_steps_gan_start + 1 (gan_flag flips after the
+    post-increment check, trainer._mode ≡ trainer_lsgan.py:184-185)."""
     conf = {"trainer_type": "lsgan", "n_steps_gan_start": 123}
     offs = step_offsets(conf, ["G", "D", "C", "SPKRADV"])
-    assert offs == {"G": 0, "D": 123, "C": 0, "SPKRADV": 0}
+    assert offs == {"G": 0, "D": 124, "C": 0, "SPKRADV": 0}
     offs = step_offsets({"trainer_type": "vqvae"}, ["G", "C"])
     assert offs == {"G": 0, "C": 0}
+    gaps = schedule_gaps(
+        {"trainer_type": "lsgan", "n_steps_gan_start": 4,
+         "n_steps_stop_generator": 3},
+        ["G", "D", "C", "SPKRADV"],
+    )
+    assert gaps["G"] == (5, 3)
+    assert gaps["D"] == (None, 0)
+    # no freeze configured -> no gap
+    gaps = schedule_gaps(
+        {"trainer_type": "lsgan", "n_steps_gan_start": 4,
+         "n_steps_stop_generator": 0}, ["G"],
+    )
+    assert gaps["G"] == (None, 0)
+
+
+def _torch_gap_traj(lr, step_size, gamma, grads, freeze_at, freeze_len):
+    """Reference discipline for G under stop-generator: updates at every
+    global step EXCEPT t in [freeze_at, freeze_at+freeze_len); StepLR
+    steps every global step regardless (trainer_lsgan.py:111 +
+    basetrainer._step_update)."""
+    p = torch.nn.Parameter(torch.zeros(*SHAPE))
+    opt = torch.optim.Adam([p], lr=lr)
+    sched = torch.optim.lr_scheduler.StepLR(opt, step_size=step_size,
+                                            gamma=gamma)
+    traj = []
+    for t, g in enumerate(grads):
+        if not (freeze_at <= t < freeze_at + freeze_len):
+            opt.zero_grad()
+            p.grad = torch.from_numpy(g)
+            opt.step()
+        sched.step()
+        traj.append(p.detach().numpy().copy())
+    return traj
+
+
+def test_adam_freeze_gap_parity():
+    """G's decay clock across the stop-generator freeze: torch steps
+    StepLR through the frozen window while the optimizer skips those
+    updates; our gap_at/gap_len re-anchor the optax schedule so every
+    post-freeze update sees the same LR epoch."""
+    n = 12
+    rng = np.random.default_rng(7)
+    grads = [rng.standard_normal(SHAPE).astype(np.float32)
+             for _ in range(n)]
+    freeze_at, freeze_len = 3, 4
+    tt = _torch_gap_traj(0.02, 2, 0.5, grads, freeze_at, freeze_len)
+
+    tx = make_optimizer(
+        {"type": "adam", "lr": 0.02, "decay_step_size": 2,
+         "decay_size": 0.5},
+        gap_at=freeze_at, gap_len=freeze_len,
+    )
+    p = jnp.zeros(SHAPE, jnp.float32)
+    state = tx.init(p)
+    jt = []
+    for t, g in enumerate(grads):
+        if not (freeze_at <= t < freeze_at + freeze_len):
+            updates, state = tx.update(jnp.asarray(g), state, p)
+            p = p + updates
+        jt.append(np.asarray(p))
+    _assert_traj(tt, jt, 1e-6, "adam freeze-gap")
+
+    # without the gap the post-freeze trajectory must diverge (regression
+    # guard for the round-2 "Known deviations" stop-generator corner)
+    tx0 = make_optimizer(
+        {"type": "adam", "lr": 0.02, "decay_step_size": 2,
+         "decay_size": 0.5},
+    )
+    p0, s0 = jnp.zeros(SHAPE, jnp.float32), None
+    s0 = tx0.init(p0)
+    for t, g in enumerate(grads):
+        if not (freeze_at <= t < freeze_at + freeze_len):
+            updates, s0 = tx0.update(jnp.asarray(g), s0, p0)
+            p0 = p0 + updates
+    assert float(np.max(np.abs(np.asarray(p0) - tt[-1]))) > 1e-4
+
+
+def test_trainer_gating_schedule_parity():
+    """End-to-end clock check with the TRAINER's own gating formulas:
+    over global steps 0..n-1 with n_steps_gan_start=gs and
+    n_steps_stop_generator=stop, G updates whenever not
+    (gan_flag and steps <= gs+stop), D updates whenever gan_flag
+    (trainer._mode), and the reference steps every StepLR each global
+    step.  make_optimizers' offsets/gaps must reproduce torch's LR
+    epoch for every executed update."""
+    from crank_tpu.train.optim import make_optimizers
+
+    gs, stop, n, ss = 2, 3, 12, 2
+    conf = {
+        "trainer_type": "lsgan", "n_steps_gan_start": gs,
+        "n_steps_stop_generator": stop,
+        "optim": {
+            m: {"type": "adam", "lr": 0.02, "decay_step_size": ss,
+                "decay_size": 0.5} for m in ("G", "D")
+        },
+    }
+    rng = np.random.default_rng(9)
+    grads = [rng.standard_normal(SHAPE).astype(np.float32)
+             for _ in range(n)]
+
+    # torch side, reference discipline
+    tp = {m: torch.nn.Parameter(torch.zeros(*SHAPE)) for m in ("G", "D")}
+    topt = {m: torch.optim.Adam([tp[m]], lr=0.02) for m in tp}
+    tsch = {m: torch.optim.lr_scheduler.StepLR(topt[m], step_size=ss,
+                                               gamma=0.5) for m in tp}
+    jtx = make_optimizers(conf, ["G", "D"])
+    jp = {m: jnp.zeros(SHAPE, jnp.float32) for m in ("G", "D")}
+    jst = {m: jtx[m].init(jp[m]) for m in jp}
+
+    for t, g in enumerate(grads):
+        gan_flag = t > gs
+        stop_generator = gan_flag and stop > 0 and t <= gs + stop
+        updates_now = {"G": not stop_generator, "D": gan_flag}
+        for m in ("G", "D"):
+            if updates_now[m]:
+                topt[m].zero_grad()
+                tp[m].grad = torch.from_numpy(g)
+                topt[m].step()
+                upd, jst[m] = jtx[m].update(jnp.asarray(g), jst[m], jp[m])
+                jp[m] = jp[m] + upd
+            tsch[m].step()
+        for m in ("G", "D"):
+            err = float(np.max(np.abs(
+                tp[m].detach().numpy() - np.asarray(jp[m])
+            )))
+            assert err < 1e-6, f"{m} diverged at global step {t}: {err}"

@@ -429,7 +429,9 @@ def test_d_decay_clock_global_step_parity():
     gan_start, dss, decay, lr = 10, 4, 0.5, 1e-3
     conf = {"trainer_type": "lsgan", "n_steps_gan_start": gan_start}
     offs = step_offsets(conf, ["G", "D", "C", "SPKRADV"])
-    assert offs == {"G": 0, "D": gan_start, "C": 0, "SPKRADV": 0}
+    # D's first update executes at global step gan_start + 1 (gan_flag
+    # flips on the post-increment check, trainer._mode)
+    assert offs == {"G": 0, "D": gan_start + 1, "C": 0, "SPKRADV": 0}
     # vqvae trainer has no GAN phase: no offset even if the key exists
     vq_offs = step_offsets(
         {"trainer_type": "vqvae", "n_steps_gan_start": gan_start},
@@ -439,10 +441,10 @@ def test_d_decay_clock_global_step_parity():
 
     sched = _schedule(lr, dss, decay, offs["D"])
     # reference StepLR clock: at D's c-th update the global step is
-    # gan_start + c, after which (gan_start + c) scheduler.step() calls
-    # have happened
+    # gan_start + 1 + c, and the update sees the LR after that many
+    # scheduler.step() calls
     for c in range(0, 25):
-        s = gan_start + c
+        s = gan_start + 1 + c
         ref_lr = lr * decay ** (s // dss)
         assert abs(float(sched(c)) - ref_lr) < 1e-12, (c, s)
     # G keeps the unshifted clock

@@ -268,6 +268,14 @@ def test_lsgan_training_trajectory_parity():
         )
         for m in ref_opts
     }
+    # this excerpt starts at the first GAN step (global step
+    # n_steps_gan_start + 1): by then the reference has stepped D's StepLR
+    # once per elapsed global step while D never updated — pre-step its
+    # scheduler to the same epoch our step_offsets encode
+    from crank_tpu.train.optim import step_offsets
+
+    for _ in range(step_offsets(conf, ["D"])["D"]):
+        ref_scheds["D"].step()
 
     modelG, variables = build_flax_g(conf, refG)
     models = build_models(conf, SPKR_SIZE)
