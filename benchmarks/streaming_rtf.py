@@ -49,6 +49,26 @@ def main():
     params, ema = init_models(models, conf, len(spkrs),
                               jax.random.PRNGKey(0), B=1, T=64)
 
+    # null round trip: tiny H2D + trivial jit + D2H readback — the
+    # per-dispatch floor the transport imposes on ANY per-chunk step
+    # (over the axon tunnel this dominates small-chunk latency; a
+    # locally-attached chip measures sub-ms here)
+    import jax.numpy as jnp
+
+    null_step = jax.jit(lambda x: x + 1.0)
+    np_x = np.zeros(8, np.float32)
+    np.asarray(null_step(jnp.asarray(np_x)))  # compile
+    rtt = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        np.asarray(null_step(jnp.asarray(np_x)))
+        rtt.append(time.perf_counter() - t0)
+    rtt_ms = float(np.median(rtt)) * 1000
+    print(json.dumps({
+        "metric": "null_roundtrip", "rtt_ms_median": round(rtt_ms, 3),
+        "unit": "ms",
+    }))
+
     for chunk in (8, 16, 32, 64):
         conv = StreamingConverter(
             conf, len(spkrs), params["G"], ema, scaler, spkrs,
@@ -92,6 +112,9 @@ def main():
             "rtf": round(float(lat.mean()) / chunk_s, 4),
             "pipelined_ms": round(pipe_dt * 1000, 3),
             "pipelined_rtf": round(pipe_dt / chunk_s, 4),
+            "rtf_excl_rtt": round(
+                max(float(lat.mean()) * 1000 - rtt_ms, 0.0)
+                / (chunk_s * 1000), 4),
             "unit": "ms",
         }))
 

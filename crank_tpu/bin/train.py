@@ -136,6 +136,12 @@ def main():
         init_state={"params": params, "ema": ema, "opt": opt},
         n_jobs=args.n_jobs,
     )
+    if args.flag == "train":
+        # preemption-safe resume: a SIGTERM (pod preemption notice /
+        # scheduler eviction) checkpoints at the next step boundary and
+        # exits EX_TEMPFAIL for the runner's relaunch loop, instead of
+        # dying with everything since the last save cadence lost
+        signal.signal(signal.SIGTERM, trainer.request_preempt_checkpoint)
     trainer.run(flag=args.flag)
     if trainer.hit_memory_watchdog:
         # EX_TEMPFAIL: checkpointed at the host-memory ceiling; the stage

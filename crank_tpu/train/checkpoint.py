@@ -14,6 +14,14 @@ Durability improvements over the reference's bare ``torch.save``:
   caller (cheap; params are ~MBs), but pickling + disk I/O run on a single
   background writer thread so the train loop resumes immediately.  Call
   :func:`wait_pending` before process exit/relaunch.
+* **orbax backend** (``fmt="orbax"`` / conf ``checkpoint_format: orbax``):
+  writes ``checkpoint_{N}steps.orbax`` directories through
+  ``orbax.checkpoint.StandardCheckpointer`` (tensorstore/OCDBT layout —
+  the elastic-pod-run format: per-array chunked storage, its own
+  tmp-dir + atomic finalize protocol, readable by any orbax tooling).
+  Both formats go through the same single-writer thread and the same
+  auto-latest discovery, and :func:`load_checkpoint` detects the format
+  from the path, so runs can switch formats between segments.
 """
 
 import os
@@ -35,12 +43,47 @@ def _to_numpy(tree):
 
 
 def _write_atomic(path, payload):
+    if path.suffix == ".orbax":
+        _write_orbax(path, payload)
+        return
     tmp = path.with_name(path.name + ".tmp")
     with open(tmp, "wb") as fp:
         pickle.dump(payload, fp)
         fp.flush()
         os.fsync(fp.fileno())
     os.replace(tmp, path)
+
+
+def _write_orbax(path, payload):
+    """Synchronous orbax write (runs inside the single writer thread).
+    orbax finalizes through its own tmp-dir + rename protocol, so a
+    crash mid-write leaves no valid-looking partial checkpoint.
+
+    params/ema/rng are plain dict-of-array pytrees and stay structured
+    (readable by any orbax tooling).  The optimizer state contains optax
+    namedtuples, which a target-less ``StandardCheckpointer.restore``
+    would silently flatten into dicts — store it as indexed leaves plus
+    its pickled treedef so :func:`load_checkpoint` rebuilds the exact
+    optax state without needing an abstract target tree."""
+    import orbax.checkpoint as ocp
+
+    opt_leaves, opt_treedef = jax.tree_util.tree_flatten(payload["opt"])
+    doc = {
+        "steps": payload["steps"],
+        "params": payload["params"],
+        "ema": payload["ema"],
+        "rng": payload["rng"],
+        "opt_flat": {f"{i:05d}": leaf for i, leaf in enumerate(opt_leaves)},
+        "opt_treedef": np.frombuffer(
+            pickle.dumps(opt_treedef), dtype=np.uint8
+        ).copy(),
+    }
+    ckptr = ocp.StandardCheckpointer()
+    try:
+        ckptr.save(os.path.abspath(path), doc, force=True)
+        ckptr.wait_until_finished()
+    finally:
+        ckptr.close()
 
 
 def _write_atomic_bg(path, payload):
@@ -73,10 +116,13 @@ def wait_pending():
     _raise_writer_error()
 
 
-def save_checkpoint(expdir, state, async_write=False):
+def save_checkpoint(expdir, state, async_write=False, fmt="pickle"):
+    if fmt not in ("pickle", "orbax"):
+        raise ValueError(f"unknown checkpoint_format: {fmt}")
     expdir = Path(expdir)
     expdir.mkdir(parents=True, exist_ok=True)
-    path = expdir / f"checkpoint_{int(state['steps'])}steps.pkl"
+    ext = "pkl" if fmt == "pickle" else "orbax"
+    path = expdir / f"checkpoint_{int(state['steps'])}steps.{ext}"
     payload = {
         "steps": int(state["steps"]),
         "params": _to_numpy(state["params"]),
@@ -101,14 +147,38 @@ def save_checkpoint(expdir, state, async_write=False):
 
 
 def load_checkpoint(path):
+    path = Path(path)
+    if path.is_dir():  # orbax checkpoint directory
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        try:
+            doc = ckptr.restore(os.path.abspath(path))
+        finally:
+            ckptr.close()
+        opt_treedef = pickle.loads(
+            np.asarray(doc["opt_treedef"], np.uint8).tobytes()
+        )
+        opt_leaves = [doc["opt_flat"][k] for k in sorted(doc["opt_flat"])]
+        return {
+            "steps": int(doc["steps"]),
+            "params": doc["params"],
+            "ema": doc["ema"],
+            "rng": np.asarray(doc["rng"]),
+            "opt": jax.tree_util.tree_unflatten(opt_treedef, opt_leaves),
+        }
     with open(path, "rb") as fp:
         payload = pickle.load(fp)
     return payload
 
 
 def find_latest_checkpoint(expdir):
-    pkls = list(Path(expdir).glob("checkpoint_*steps.pkl"))
-    if not pkls:
+    ckpts = [
+        p
+        for pat in ("checkpoint_*steps.pkl", "checkpoint_*steps.orbax")
+        for p in Path(expdir).glob(pat)
+    ]
+    if not ckpts:
         return None
-    steps = [int(re.findall(r"[0-9]+", p.stem)[0]) for p in pkls]
-    return pkls[int(np.argmax(steps))]
+    steps = [int(re.findall(r"[0-9]+", p.stem)[0]) for p in ckpts]
+    return ckpts[int(np.argmax(steps))]

@@ -70,6 +70,7 @@ class Trainer:
         self.resume_steps = self.steps
         self._last_saved_steps = None
         self.finish_train = False
+        self.preempt_requested = False
         self.hit_memory_watchdog = False
         from concurrent.futures import ThreadPoolExecutor
 
@@ -252,29 +253,40 @@ class Trainer:
             pass
         return 0.0
 
+    def request_preempt_checkpoint(self, *_args):
+        """Signal-safe preemption notice (SIGTERM): only flips a flag; the
+        train loop checkpoints at the next watchdog check and exits for
+        relaunch — a preempted pod run resumes exactly instead of losing
+        the segment since the last save cadence."""
+        self.preempt_requested = True
+
     def _check_memory_watchdog(self):
         """Preemption-safe segmented training: when host RSS crosses
-        ``max_host_rss_gb``, checkpoint and stop cleanly; the stage runner
-        relaunches from the checkpoint (exit code 75). Exists because some
-        runtimes (e.g. the tunneled TPU client here) retain host memory per
-        H2D transfer, and long runs would otherwise hit the OOM killer
-        mid-step with no checkpoint."""
+        ``max_host_rss_gb`` — or a SIGTERM preemption notice arrived
+        (request_preempt_checkpoint) — checkpoint and stop cleanly; the
+        stage runner relaunches from the checkpoint (exit code 75).  The
+        RSS leg exists because some runtimes (e.g. the tunneled TPU client
+        here) retain host memory per H2D transfer, and long runs would
+        otherwise hit the OOM killer mid-step with no checkpoint."""
         limit = self.conf.get("max_host_rss_gb", 64)
-        if not limit:
-            return False
-        rss = self._host_rss_gb()
+        rss = self._host_rss_gb() if limit else 0.0
+        preempt = self.preempt_requested
         if jax.process_count() > 1:
             # the stop decision must be collective or the cluster deadlocks
             # in the next step's all-reduce: act on the max across hosts
+            # (any host over its ceiling / any host preempted stops all)
             from jax.experimental import multihost_utils
 
-            rss = float(
-                np.max(multihost_utils.process_allgather(np.float32(rss)))
-            )
-        if rss > limit:
+            vals = np.asarray(multihost_utils.process_allgather(
+                np.asarray([rss, float(preempt)], np.float32)
+            ))
+            rss = float(np.max(vals[..., 0]))
+            preempt = bool(np.max(vals[..., 1]) > 0)
+        if (limit and rss > limit) or preempt:
             logging.warning(
-                "host RSS above %.0f GB at step %d: checkpointing and "
-                "requesting relaunch", limit, self.steps,
+                "%s at step %d: checkpointing and requesting relaunch",
+                "preemption notice (SIGTERM)" if preempt
+                else f"host RSS above {limit:.0f} GB", self.steps,
             )
             self.save_model()
             self.hit_memory_watchdog = True
@@ -556,7 +568,10 @@ class Trainer:
             "opt": self.state["opt"],
             "rng": self.rng,
         }
-        path = save_checkpoint(self.expdir, state, async_write=True)
+        path = save_checkpoint(
+            self.expdir, state, async_write=True,
+            fmt=self.conf.get("checkpoint_format", "pickle"),
+        )
         logging.info("saved checkpoint: %s", path)
 
     def _print_loss(self, loss_values, phase="train"):

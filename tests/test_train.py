@@ -10,6 +10,7 @@ import pickle
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -353,6 +354,46 @@ def test_memory_watchdog_checkpoints_and_stops(tmp_path, corpus):
     assert find_latest_checkpoint(tmp_path) is not None
 
 
+def test_sigterm_preemption_checkpoints_and_stops(tmp_path, corpus):
+    """Preemption-safe resume: a SIGTERM mid-training (pod eviction
+    notice) checkpoints at the next step boundary and flags for relaunch
+    (exit 75 via the CLI), instead of dying with the segment lost.  Uses
+    real async signal delivery on the main thread, the same wiring
+    bin/train.py installs."""
+    import os
+    import signal
+    import threading
+
+    conf = make_conf(n_steps=500, dev_steps=10000, n_steps_save_model=10000,
+                     n_steps_print_loss=1, max_host_rss_gb=10000)
+    models = build_models(conf, spkr_size=len(SPKRS))
+    params, ema = init_models(models, conf, len(SPKRS),
+                              jax.random.PRNGKey(0), B=2, T=BATCH_LEN)
+    opts = make_optimizers(conf, list(models.keys()))
+    state = {"params": params, "ema": ema,
+             "opt": {m: opts[m].init(params[m]) for m in models}}
+    loaders = get_dataloaders(conf, corpus["scp"], corpus["scaler"],
+                              flag="train")
+    tr = Trainer(models, opts, conf, loaders, corpus["scaler"],
+                 expdir=tmp_path, init_state=state, mesh=get_mesh())
+    prev = signal.signal(signal.SIGTERM, tr.request_preempt_checkpoint)
+    try:
+        timer = threading.Timer(1.5, os.kill, (os.getpid(), signal.SIGTERM))
+        timer.start()
+        tr.run("train")
+        timer.cancel()
+    finally:
+        signal.signal(signal.SIGTERM, prev)
+    assert tr.preempt_requested
+    assert tr.hit_memory_watchdog  # relaunch-requested path (exit 75)
+    assert tr.steps < conf["n_steps"]  # stopped early
+    ckpt = find_latest_checkpoint(tmp_path)
+    assert ckpt is not None
+    from crank_tpu.train.checkpoint import load_checkpoint
+
+    assert load_checkpoint(ckpt)["steps"] == tr.steps
+
+
 def test_checkpoint_atomic_and_async(tmp_path):
     """Async checkpoint write lands atomically (no .tmp left, loadable),
     and wait_pending() is a reliable barrier."""
@@ -382,6 +423,98 @@ def test_checkpoint_atomic_and_async(tmp_path):
     state["steps"] = 12
     save_checkpoint(tmp_path, state)
     assert find_latest_checkpoint(tmp_path).name == "checkpoint_12steps.pkl"
+
+
+def test_checkpoint_orbax_roundtrip(tmp_path):
+    """checkpoint_format: orbax — tensorstore/OCDBT directory checkpoints
+    for elastic pod runs: exact round trip INCLUDING the optax namedtuple
+    optimizer state (a target-less orbax restore would flatten those to
+    dicts; the stored treedef rebuilds them), shared auto-latest
+    discovery with the pickle format, async writer path."""
+    import optax
+
+    from crank_tpu.train.checkpoint import (
+        find_latest_checkpoint,
+        load_checkpoint,
+        save_checkpoint,
+        wait_pending,
+    )
+
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
+    p0 = {"w": np.ones((8, 4), np.float32), "b": np.zeros(4, np.float32)}
+    opt_state = tx.init(p0)
+    # advance once so counts/moments are nonzero
+    g = jax.tree_util.tree_map(lambda x: jnp.asarray(x) * 0 + 0.5, p0)
+    _, opt_state = tx.update(g, opt_state, p0)
+
+    state = {
+        "steps": 9,
+        "params": {"G": p0},
+        "ema": {"codebook": np.arange(12.0).reshape(3, 4)},
+        "opt": {"G": jax.device_get(opt_state)},
+        "rng": np.array([3, 4], np.uint32),
+    }
+    p = save_checkpoint(tmp_path, state, async_write=True, fmt="orbax")
+    wait_pending()
+    assert p.is_dir() and p.name == "checkpoint_9steps.orbax"
+
+    back = load_checkpoint(p)
+    assert back["steps"] == 9
+    assert np.asarray(back["rng"]).dtype == np.uint32
+    chex = jax.tree_util.tree_structure(back["opt"]["G"])
+    assert chex == jax.tree_util.tree_structure(state["opt"]["G"])
+    for a, b in zip(jax.tree_util.tree_leaves(back["opt"]["G"]),
+                    jax.tree_util.tree_leaves(state["opt"]["G"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(back["ema"]["codebook"],
+                                  state["ema"]["codebook"])
+    # the restored optax state is directly usable
+    _, _ = tx.update(g, jax.tree_util.tree_map(jnp.asarray, back["opt"]["G"]),
+                     back["params"]["G"])
+
+    # mixed-format latest discovery: orbax dir at a higher step wins
+    state["steps"] = 4
+    save_checkpoint(tmp_path, state)  # pickle at step 4
+    assert find_latest_checkpoint(tmp_path).name == "checkpoint_9steps.orbax"
+    state["steps"] = 15
+    save_checkpoint(tmp_path, state)
+    assert find_latest_checkpoint(tmp_path).name == "checkpoint_15steps.pkl"
+
+
+def test_trainer_orbax_checkpoint_resume(tmp_path, corpus):
+    """A trainer run with checkpoint_format: orbax writes directory
+    checkpoints, and a second run resumes from them bit-exactly at
+    step + 1 (same lifecycle as the pickle path)."""
+    conf = make_conf(n_steps=3, dev_steps=100, n_steps_save_model=2,
+                     checkpoint_format="orbax")
+    models = build_models(conf, spkr_size=len(SPKRS))
+    params, ema = init_models(models, conf, len(SPKRS),
+                              jax.random.PRNGKey(0), B=2, T=BATCH_LEN)
+    opts = make_optimizers(conf, list(models.keys()))
+    state = {"params": params, "ema": ema,
+             "opt": {m: opts[m].init(params[m]) for m in models}}
+    loaders = get_dataloaders(conf, corpus["scp"], corpus["scaler"],
+                              flag="train")
+    tr = Trainer(models, opts, conf, loaders, corpus["scaler"],
+                 expdir=tmp_path, init_state=state, mesh=get_mesh())
+    tr.run("train")
+    from crank_tpu.train.checkpoint import (
+        find_latest_checkpoint, load_checkpoint,
+    )
+
+    latest = find_latest_checkpoint(tmp_path)
+    assert latest.is_dir() and latest.suffix == ".orbax"
+    payload = load_checkpoint(latest)
+    assert payload["steps"] == conf["n_steps"]
+
+    tr2 = Trainer(models, opts, conf, loaders, corpus["scaler"],
+                  expdir=tmp_path, resume=payload["steps"],
+                  rng_key=payload["rng"],
+                  init_state={"params": payload["params"],
+                              "ema": payload["ema"],
+                              "opt": payload["opt"]},
+                  mesh=get_mesh())
+    assert tr2.steps == payload["steps"] + 1
 
 
 def test_trainer_final_checkpoint_and_resume(tmp_path, corpus):
