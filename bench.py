@@ -27,10 +27,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu",
 """
 
 import json
+import os
 import time
 
 import jax
 import numpy as np
+
+# CRANK_TPU_BENCH_SMOKE=1 shrinks geometry + timing windows so the bench
+# plumbing (incl. the AOT compile path) can be exercised quickly on CPU;
+# numbers printed in smoke mode are NOT comparable to the baseline.
+SMOKE = bool(int(os.environ.get("CRANK_TPU_BENCH_SMOKE", "0")))
 
 # benchmarks/torch_cpu_baseline.py on this machine (committed so the
 # multiple is reproducible).  Two rows: OMP_NUM_THREADS=1 (the reference's
@@ -59,10 +65,10 @@ def _peak_for(device):
     return None
 
 
-def _step_flops(step, *args):
-    """XLA cost-analysis FLOPs of the compiled step (whole program)."""
+def _compiled_flops(compiled):
+    """XLA cost-analysis FLOPs of an AOT-compiled step (whole program)."""
     try:
-        ca = step.lower(*args).compile().cost_analysis()
+        ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         # NOTE: cost_analysis runs on the optimized post-SPMD-partitioning
@@ -83,6 +89,8 @@ def main():
     spkr_size = 4
     conf = default_conf()
     B, T, D = conf["batch_size"], conf["batch_len"], conf["input_size"]
+    if SMOKE:
+        B, T = 4, 64
 
     mesh = get_mesh()
     n_chips = mesh.shape["data"]
@@ -126,6 +134,17 @@ def main():
     step = factory.make_step(Mode(trainer_type="vqvae"))
 
     key = jax.random.PRNGKey(1)
+    # AOT-compile once: the timing loop and the cost analysis share one
+    # executable (lower().compile() does not reuse the jit tracing cache,
+    # so running it after the loop would compile the production-scale step
+    # a second time — minutes of duplicate XLA work on a TPU)
+    flops = None
+    try:
+        compiled = step.lower(state, batch, key).compile()
+        flops = _compiled_flops(compiled)
+        step = compiled
+    except Exception:
+        pass
     # warmup / compile
     for _ in range(2):
         key, k = jax.random.split(key)
@@ -134,23 +153,23 @@ def main():
 
     # best of 5 spaced windows: tunneled/preemptible chips show multi-minute
     # transient throttling; the max is the honest device capability
-    n_iters = 10
+    n_iters = 2 if SMOKE else 10
+    n_windows = 1 if SMOKE else 5
     best_dt = float("inf")
-    for w in range(5):
+    for w in range(n_windows):
         t0 = time.perf_counter()
         for _ in range(n_iters):
             key, k = jax.random.split(key)
             state, loss = step(state, batch, k)
         jax.block_until_ready(loss["G"])
         best_dt = min(best_dt, time.perf_counter() - t0)
-        if w < 4:
+        if w < n_windows - 1:
             time.sleep(15)
 
     frames_per_sec_per_chip = B * T * n_iters / best_dt / n_chips
-    # _step_flops is per-device (post-SPMD shard), so per-chip MFU divides
-    # by one chip's peak only, and flops/frame scales back to the global
-    # batch by n_chips
-    flops = _step_flops(step, state, batch, key)
+    # _compiled_flops is per-device (post-SPMD shard), so per-chip MFU
+    # divides by one chip's peak only, and flops/frame scales back to the
+    # global batch by n_chips
     peak = _peak_for(jax.devices()[0])
     mfu = None
     if flops and peak:

@@ -19,13 +19,13 @@ logging.basicConfig(
 )
 
 
-def calculate(cv_path, gt_file_list, conf, spkr_conf):
+def calculate(cv_path, gt_file_list, conf, spkr_conf, from_wav=False):
     parsed = parse_decoded_stem(cv_path.stem)
     if parsed is None:
         raise ValueError(f"not a decoded-file stem: {cv_path}")
     number, orgspk, tarspk = parsed.uid, parsed.org, parsed.cv
 
-    if conf["output_feat_type"] == "mcep":
+    if conf["output_feat_type"] == "mcep" and not from_wav:
         cv_mcep = read_feature(cv_path, "feats")
         cv_f0 = read_feature(cv_path, "f0")
     else:
@@ -56,6 +56,11 @@ def main():
                         help="per-utterance score files from array jobs; "
                              "merge into pairwise means instead of "
                              "evaluating")
+    parser.add_argument("--from_wav", action="store_true",
+                        help="re-analyze synthesized wavs even for mcep "
+                             "confs (instead of reading the decoded h5 "
+                             "dumps directly) — used when stage 6 "
+                             "vocoded the mcep dumps (--voc NPWG/PWG)")
     args = parser.parse_args()
 
     conf = load_yaml(args.conf)
@@ -87,12 +92,15 @@ def main():
             f"--job_index {args.job_index} outside 1..{args.n_splits}"
         )
 
-    if conf["output_feat_type"] == "mcep":
+    if conf["output_feat_type"] == "mcep" and not args.from_wav:
         # decoded dumps live under per-speaker subdirs (trainer layout);
         # the synthesized wav/ sibling holds no h5, so a recursive glob
         # over the dump root is unambiguous
         converted_files = sorted(Path(args.outwavdir).rglob("*.h5"))
     else:
+        if args.from_wav:
+            logging.info("--from_wav: re-analyzing synthesized wavs "
+                         "instead of reading mcep dumps")
         converted_files = sorted(Path(args.outwavdir).rglob("*.wav"))
     converted_files = converted_files[args.job_index - 1::args.n_splits]
     logging.info("number of utterances = %d (job %d/%d)",
@@ -102,7 +110,7 @@ def main():
     gt_feats = open_featsscp(featdir / "eval" / "feats.scp")
 
     results = Parallel(n_jobs=args.n_jobs)(
-        delayed(calculate)(cv, gt_feats, conf, spkr_conf)
+        delayed(calculate)(cv, gt_feats, conf, spkr_conf, args.from_wav)
         for cv in converted_files
     )
     if args.n_splits > 1:

@@ -14,26 +14,34 @@ Eight stages, same numbering and directory conventions as the reference:
   7  objective evaluation (MCD + MOSnet)
 
 Each stage runs as a subprocess with stdout/stderr captured to a log file
-(run.pl-style).  ``--launcher`` prefixes every command, so cluster dispatch
-(e.g. ``--launcher "srun -p tpu"``) replaces queue.pl/slurm.pl/ssh.pl.
+(run.pl-style).  ``--launcher`` selects the dispatch backend
+(``utils/launcher.py`` — ``slurm[:flags]`` / ``sge[:flags]`` /
+``ssh:hosts`` / raw prefix), replacing cmd.sh + queue.pl/slurm.pl/ssh.pl.
 """
 
 import argparse
 import os
-import shlex
 import subprocess
 import sys
 from pathlib import Path
 
+from crank_tpu.utils.launcher import Launcher
 
 RELAUNCH = 75  # EX_TEMPFAIL: checkpointed at a resource ceiling, relaunch
+
+
+def _wrap(cmd, launcher, job=None):
+    if not launcher:
+        return [str(c) for c in cmd]
+    if isinstance(launcher, str):
+        launcher = Launcher(launcher)
+    return launcher.wrap(cmd, job=job)
 
 
 def run_cmd(cmd, log, launcher="", env=None, ok_codes=(0,)):
     log = Path(log)
     log.parent.mkdir(parents=True, exist_ok=True)
-    if launcher:
-        cmd = shlex.split(launcher) + cmd
+    cmd = _wrap(cmd, launcher)
     print(f"[run] {' '.join(map(str, cmd))} (log: {log})", flush=True)
     with open(log, "w") as fp:
         ret = subprocess.run(
@@ -49,14 +57,12 @@ def run_array(cmd_for_job, log_for_job, n, launcher="", env=None,
               ok_codes=(0,)):
     """Array-job dispatch (utils/run.pl JOB=1:N role): launch ``n``
     concurrent jobs, one log each (log.1 .. log.n naming), join barrier,
-    fail if any job fails.  A literal ``JOB`` in the launcher string is
-    substituted with the job index (ssh.pl-style per-host dispatch, e.g.
-    ``--launcher "ssh workerJOB"``)."""
+    fail if any job fails.  The launcher backend decides where each job
+    index lands (ssh round-robin / per-job srun / qrsh; a literal ``JOB``
+    in backend flags is substituted with the index)."""
     procs = []
     for j in range(1, n + 1):
-        cmd = [str(c) for c in cmd_for_job(j)]
-        if launcher:
-            cmd = shlex.split(launcher.replace("JOB", str(j))) + cmd
+        cmd = _wrap(cmd_for_job(j), launcher, job=j)
         log = Path(log_for_job(j))
         log.parent.mkdir(parents=True, exist_ok=True)
         print(f"[run:{j}/{n}] {' '.join(cmd)} (log: {log})", flush=True)
@@ -89,8 +95,11 @@ def main():
     parser.add_argument("--stop_stage", type=int, default=7)
     parser.add_argument("--n_jobs", type=int, default=-1)
     parser.add_argument("--voc", type=str, default="GL",
-                        choices=["GL", "PWG", "NPWG"],
-                        help="GL=Griffin-Lim, NPWG=in-tree neural vocoder, "
+                        choices=["GL", "WORLD", "PWG", "NPWG"],
+                        help="GL=Griffin-Lim (mcep confs synthesize "
+                             "parametrically instead, = WORLD), "
+                             "WORLD=parametric synthesis (mcep only), "
+                             "NPWG=in-tree neural vocoder, "
                              "PWG=external parallel_wavegan package")
     parser.add_argument("--voc_expdir", type=str, default="downloads/PWG")
     parser.add_argument("--voc_checkpoint", type=str, default=None,
@@ -104,9 +113,12 @@ def main():
     parser.add_argument("--eval_utterances", type=int, default=5)
     parser.add_argument("--eval_speakers", type=str, nargs="*", default=[""])
     parser.add_argument("--launcher", type=str, default="",
-                        help="command prefix for cluster dispatch; a "
-                             "literal JOB is replaced by the array-job "
-                             "index in fan-out stages")
+                        help="cluster dispatch backend (cmd.sh role): "
+                             "'' / local, 'slurm[:srun flags]', "
+                             "'sge[:qrsh flags]', 'ssh:h1,h2' or "
+                             "'ssh:@hostfile', or a raw command prefix; "
+                             "a literal JOB in backend flags is replaced "
+                             "by the array-job index in fan-out stages")
     parser.add_argument("--n_parallel_jobs", type=int, default=1,
                         help="array-job fan-out width for per-utterance "
                              "stages (2: feature extraction, 7: MCD) — "
@@ -150,7 +162,7 @@ def main():
         n_decode_steps = str(conf_d.get("n_steps", default_d.get("n_steps")))
 
     py = [sys.executable, "-m"]
-    L = args.launcher
+    L = Launcher(args.launcher, env=env)
 
     def stage_in(n):
         return args.stage <= n <= args.stop_stage
@@ -259,7 +271,13 @@ def main():
         train_cmd("eval", args.decode_checkpoint,
                   expdir / confname / "decode.log")
 
-    if feat_type == "mcep":
+    if args.voc == "WORLD" and feat_type != "mcep":
+        raise SystemExit(
+            "--voc WORLD needs WORLD features (output_feat_type: mcep); "
+            "this conf decodes mel — use --voc GL / NPWG / PWG"
+        )
+    if feat_type == "mcep" and args.voc in ("GL", "WORLD"):
+        # the parametric-synthesis path keeps the wavs next to the dumps
         outdir = expdir / confname / "eval_wav" / n_decode_steps
     else:
         outdir = (
@@ -271,13 +289,14 @@ def main():
         print("stage 6: synthesis")
         (outdir / "wav").mkdir(parents=True, exist_ok=True)
         eval_wav = expdir / confname / "eval_wav" / n_decode_steps
-        if feat_type == "mcep":
+        if args.voc in ("GL", "WORLD") and feat_type == "mcep":
             # WORLD synthesis from the decoded [mcep, f0, cap(, rmcep)]
             # dumps.  The reference's run.sh runs GL here regardless of
             # feat_type, which cannot work on mel-cepstra (mlfb basis
             # shape mismatch, template/run.sh:183-190) — its mcep eval
             # wavs never exist; we synthesize them with the native WORLD
-            # synthesizer so stage 7's MOSnet has inputs
+            # synthesizer so stage 7's MOSnet has inputs.  --voc NPWG/PWG
+            # route mcep dumps through the neural vocoders instead.
             run_cmd(
                 py + ["crank_tpu.bin.world_synthesis", "--n_jobs",
                       args.n_jobs, "--conf", conf, "--rootdir", eval_wav,
@@ -383,12 +402,16 @@ def main():
         print("stage 7: evaluation")
         # mcep MCD reads the decoded [mcep, f0] h5 dumps directly (no
         # vocoder round-trip, reference evaluate_mcd.py:52-57); mlfb MCD
-        # re-analyzes the synthesized wavs
+        # re-analyzes the synthesized wavs, as do mcep confs when stage 6
+        # vocoded the dumps neurally (--voc NPWG/PWG measures the wavs)
+        mcep_direct = feat_type == "mcep" and args.voc in ("GL", "WORLD")
         mcd_src = (expdir / confname / "eval_wav" / n_decode_steps
-                   if feat_type == "mcep" else outdir / "wav")
+                   if mcep_direct else outdir / "wav")
         mcd_base = py + ["crank_tpu.bin.evaluate_mcd", "--conf", conf,
                          "--n_jobs", args.n_jobs, "--spkr_conf", spkr_yml,
                          "--outwavdir", mcd_src, "--featdir", featdir]
+        if feat_type == "mcep" and not mcep_direct:
+            mcd_base += ["--from_wav"]
         npar = args.n_parallel_jobs
         if npar > 1:
             run_array(

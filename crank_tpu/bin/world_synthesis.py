@@ -16,7 +16,6 @@ import logging
 import sys
 from pathlib import Path
 
-import numpy as np
 from joblib import Parallel, delayed
 
 from crank_tpu.features.store import read_feature
@@ -29,24 +28,19 @@ logging.basicConfig(level=logging.INFO, stream=sys.stdout)
 def synthesize(h5f, rootdir, outdir, fc):
     from crank_tpu.native import world
 
-    feats = read_feature(h5f, "feats")
-    f0 = read_feature(h5f, "f0")
-    cap = read_feature(h5f, "cap")
+    feat = {
+        "feats": read_feature(h5f, "feats"),
+        "f0": read_feature(h5f, "f0"),
+        "cap": read_feature(h5f, "cap"),
+    }
     try:
-        rmcep = read_feature(h5f, "rmcep")
+        feat["rmcep"] = read_feature(h5f, "rmcep")
     except (KeyError, OSError):
-        rmcep = None
-    wav = world.world2wav(
-        np.asarray(f0)[:, 0].astype(np.float64),
-        np.asarray(feats, np.float64),
-        np.asarray(cap, np.float64),
-        rmcep=None if rmcep is None else np.asarray(rmcep, np.float64),
-        fs=fc["fs"], fftl=fc["fftl"], shiftms=fc["shiftms"],
-        alpha=fc["mcep_alpha"],
-    )
+        pass
+    wav = world.mcep_dump_to_wav(feat, fc)
     wavf = Path(outdir) / Path(h5f).relative_to(rootdir).with_suffix(".wav")
     wavf.parent.mkdir(parents=True, exist_ok=True)
-    write_wav(wavf, np.clip(wav, -1.0, 1.0), fc["fs"])
+    write_wav(wavf, wav, fc["fs"])
     logging.info("wrote %s", wavf)
 
 

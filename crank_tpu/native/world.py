@@ -223,6 +223,23 @@ def world2wav(f0, mcep, codeap, rmcep=None, fs=22050, fftl=1024,
     return np.clip(wav, -1.0, 1.0)
 
 
+def mcep_dump_to_wav(feat, feature_conf):
+    """Synthesize one decoded-feature dict ``{feats, f0, cap[, rmcep]}``
+    (trainer._store_features keys / stage-5 h5 dump keys) to a clipped
+    waveform.  Single source of truth for the dev-time listening wavs
+    (train/trainer.py) and the stage-6 wavs (bin/world_synthesis.py) so
+    the rmcep/mod_power convention cannot diverge between the two."""
+    rmcep = feat.get("rmcep")
+    return world2wav(
+        np.asarray(feat["f0"])[:, 0].astype(np.float64),
+        np.asarray(feat["feats"], np.float64),
+        np.asarray(feat["cap"], np.float64),
+        rmcep=None if rmcep is None else np.asarray(rmcep, np.float64),
+        fs=feature_conf["fs"], fftl=feature_conf["fftl"],
+        shiftms=feature_conf["shiftms"], alpha=feature_conf["mcep_alpha"],
+    )
+
+
 def diff2wav(x, diffmcep, rmcep=None, fs=22050, fftl=1024, shiftms=5.0,
              alpha=0.455):
     """Filter a waveform with a differential mel-cepstrum (sprocket

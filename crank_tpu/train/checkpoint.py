@@ -78,7 +78,17 @@ def _write_orbax(path, payload):
             pickle.dumps(opt_treedef), dtype=np.uint8
         ).copy(),
     }
-    ckptr = ocp.StandardCheckpointer()
+    # The payload is host-resident numpy (params replicated, pulled by the
+    # trainer on process 0 only), so the save must NOT be a collective:
+    # orbax's default barriers would wait on processes that never call
+    # save() and deadlock a pod run.  Restrict the sync domain to this
+    # process (the trainer gates saving on process_index == 0).
+    mp_opts = ocp.options.MultiprocessingOptions(
+        primary_host=jax.process_index(),
+        active_processes={jax.process_index()},
+        barrier_sync_key_prefix=f"crank_tpu_ckpt_p{jax.process_index()}",
+    )
+    ckptr = ocp.StandardCheckpointer(multiprocessing_options=mp_opts)
     try:
         ckptr.save(os.path.abspath(path), doc, force=True)
         ckptr.wait_until_finished()

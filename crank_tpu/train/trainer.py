@@ -305,6 +305,19 @@ class Trainer:
                 self._flush_writer(loss, phase="train")
                 if self._check_memory_watchdog():
                     break
+            elif (
+                # preemption responsiveness decoupled from the print
+                # cadence: a SIGTERM must reach the checkpoint within the
+                # pod eviction grace period, not within n_steps_print_loss.
+                # Single-process: act on the local flag immediately.
+                # Multihost: the stop decision is collective, so it runs at
+                # a deterministic short cadence on every host instead.
+                (self.preempt_requested and jax.process_count() == 1)
+                or (jax.process_count() > 1 and self.steps
+                    % int(self.conf.get("n_steps_preempt_check", 10)) == 0)
+            ):
+                if self._check_memory_watchdog():
+                    break
             self._dev_step()
             if (
                 self.resume_steps != self.steps
@@ -538,18 +551,8 @@ class Trainer:
 
         fc = self.feat_conf
         for wavf, feat in feats.items():
-            wav = world.world2wav(
-                feat["f0"][:, 0].astype(np.float64),
-                feat["feats"].astype(np.float64),
-                feat["cap"].astype(np.float64),
-                rmcep=(
-                    feat["rmcep"].astype(np.float64)
-                    if feat.get("rmcep") is not None else None
-                ),
-                fs=fc["fs"], fftl=fc["fftl"], shiftms=fc["shiftms"],
-                alpha=fc["mcep_alpha"],
-            )
-            write_wav(wavf, np.clip(wav, -1.0, 1.0), fc["fs"])
+            wav = world.mcep_dump_to_wav(feat, fc)
+            write_wav(wavf, wav, fc["fs"])
 
     # ---------------------------- bookkeeping --------------------------- #
 

@@ -127,6 +127,14 @@ class VocoderTrainer:
         self.hit_memory_watchdog = False
         self.mesh = mesh or get_mesh()
         c = self.conf
+        n_data = self.mesh.shape["data"]
+        if c["batch_size"] % n_data != 0:
+            # fail fast like the VC trainer: a non-divisible batch would
+            # surface as an opaque device_put sharding error mid-training
+            raise ValueError(
+                f"vocoder batch_size={c['batch_size']} must be a multiple "
+                f"of the {n_data}-device data-parallel axis"
+            )
         self.g = PWGVocoder(
             layers=c["layers"], stacks=c["stacks"],
             aux_channels=c.get("aux_channels", 80),

@@ -220,3 +220,42 @@ def test_full_recipe_mcep(recipe):
     for line in mcd_lines:
         val = float(line.split()[-1])
         assert np.isnan(val) or 0 < val < 500
+
+
+@pytest.mark.slow
+def test_full_recipe_mcep_npwg(recipe):
+    """--voc NPWG on an mcep conf reaches the neural vocoder (stage-6
+    routing regression: the parametric-WORLD mcep default must not shadow
+    an explicit NPWG choice) and stage 7 then measures the NPWG wavs by
+    WORLD re-analysis (--from_wav) instead of reading the h5 dumps.
+
+    Reuses test_full_recipe_mcep's trained model + stage-5 dumps."""
+    expdir = recipe / "exp/tiny_mcep"
+    assert list(expdir.glob("checkpoint_*steps.pkl"))  # mcep test ran
+    conf_path = recipe / "conf/tiny_mcep.yml"
+    conf = yaml.safe_load(open(conf_path))
+    # vocoder block is inert for VC training, so editing in place keeps
+    # the expdir/confname (and the stage-5 dumps) of the previous test
+    conf["vocoder"] = {
+        "layers": 4, "stacks": 2, "residual_channels": 8,
+        "gate_channels": 16, "skip_channels": 8, "batch_size": 8,
+        "batch_max_frames": 24, "n_steps": 2, "n_steps_save_model": 2,
+        "n_steps_print_loss": 1, "discriminator_train_start_steps": 1,
+        "finetune_steps": 1,
+    }
+    with open(conf_path, "w") as fp:
+        yaml.safe_dump(conf, fp)
+    run_stages(recipe, 6, 7, conf="conf/tiny_mcep.yml",
+               extra=("--voc", "NPWG"))
+    # the vocoder actually trained and decoded
+    assert list((recipe / "exp/vocoder").glob("checkpoint_*steps.pkl"))
+    outdir = expdir / "eval_PWG_wav" / "2"
+    wavs = list((outdir / "wav").rglob("*.wav"))
+    assert len(wavs) == 9
+    # MCD came from wav re-analysis, not the dumps
+    assert "from_wav" in (outdir / "mcd_run.log").read_text()
+    mcd_lines = (outdir / "mcd.log").read_text().strip().splitlines()
+    assert len(mcd_lines) == 9
+    for line in mcd_lines:
+        val = float(line.split()[-1])
+        assert np.isnan(val) or 0 < val < 500
