@@ -193,6 +193,12 @@ def main():
                     round(flops * n_chips / (B * T)) if flops else None
                 ),
                 "device": jax.devices()[0].device_kind,
+                # CRANK_TPU_MIXED_PRECISION=bf16 benches the generator's
+                # bf16 compute path (validated by tests/test_bf16.py);
+                # default f32 keeps workload parity with the reference
+                "mixed_precision": os.environ.get(
+                    "CRANK_TPU_MIXED_PRECISION", "none"
+                ),
             }
         )
     )
