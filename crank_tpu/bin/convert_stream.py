@@ -231,6 +231,11 @@ def main():
         )
     t_start = time.perf_counter()
     for t0 in range(0, n_total, chunk):
+        if cons["error"] is not None:
+            # fail fast: a dead consumer stops draining the queue, and a
+            # long input would otherwise pay frontend + dispatch work for
+            # every remaining chunk before the post-join error surfaces
+            break
         t_arrive = time.perf_counter()
         t1 = min(t0 + chunk, n_total)
         r = t1 - t0  # valid frames in this (possibly final partial) chunk

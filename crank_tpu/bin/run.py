@@ -147,19 +147,23 @@ def main():
     env["CRANK_TPU_DEFAULT_YAML"] = str(recipe / "conf" / "default.yml")
     env.setdefault("PYTHONPATH", str(Path(__file__).resolve().parents[2]))
 
-    import yaml
+    from crank_tpu.utils.config import load_yaml
 
-    with open(conf) as fp:
-        conf_d = yaml.safe_load(fp)
-    feat_type = conf_d.get("input_feat_type", "mlfb")
+    # stage-6/7 routing must see the conf the tools see: merged over
+    # default.yml (a recipe conf may inherit feat types), and keyed on
+    # *output*_feat_type — dumps/synthesis/MCD semantics follow what the
+    # decoder emits (evaluate_mcd branches on output_feat_type too), not
+    # what the encoder eats (input mlfb / output mcep is a valid conf)
+    merged_d = load_yaml(conf, default_ymlf=recipe / "conf" / "default.yml")
+    feat_type = merged_d.get(
+        "output_feat_type", merged_d.get("input_feat_type", "mlfb")
+    )
     if args.decode_checkpoint != "None":
         n_decode_steps = "".join(
             c for c in Path(args.decode_checkpoint).stem if c.isdigit()
         )
     else:
-        with open(recipe / "conf" / "default.yml") as fp:
-            default_d = yaml.safe_load(fp)
-        n_decode_steps = str(conf_d.get("n_steps", default_d.get("n_steps")))
+        n_decode_steps = str(merged_d.get("n_steps"))
 
     py = [sys.executable, "-m"]
     L = Launcher(args.launcher, env=env)

@@ -50,8 +50,8 @@ def main():
     )
     parser.add_argument("--n_jobs", type=int, default=1)
     parser.add_argument("--conf", type=str, required=True)
-    parser.add_argument("--rootdir", type=str)
-    parser.add_argument("--outdir", type=str)
+    parser.add_argument("--rootdir", type=str, required=True)
+    parser.add_argument("--outdir", type=str, required=True)
     args = parser.parse_args()
 
     conf = load_yaml(args.conf)

@@ -279,10 +279,14 @@ class StepFactory:
 
     def _g_args(self, batch, use_cvfeats=False, enc_cvfeats=None):
         """Generator args.  ``enc_cvfeats`` decouples the encoder's F0
-        conditioning from the decoder's: the reference's LSGAN adversarial
-        forwards keep enc_h on the org features while dec_h switches to cv
-        (trainer_lsgan.py:86,96-97,118-125); eval/stargan condition both
-        on cv.  Defaults to following ``use_cvfeats``."""
+        conditioning from the decoder's: the reference keeps enc_h on the
+        org features wherever it converts — LSGAN adversarial forwards
+        (trainer_lsgan.py:86,96-97,118-125) and dev/eval decoding
+        (trainer_vqvae.py:75,107 via _get_enc_h with no cv args) — while
+        dec_h switches to cv.  Defaults to following ``use_cvfeats``
+        (both on cv) — the stargan conversion forwards use that default
+        (reference trainer_stargan.py conditions both on cv); lsgan and
+        dev/eval call sites pass ``enc_cvfeats=False`` explicitly."""
         if enc_cvfeats is None:
             enc_cvfeats = use_cvfeats
         dec_h, spkrvec = self.dec_h(batch, use_cvfeats)

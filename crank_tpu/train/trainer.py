@@ -309,12 +309,20 @@ class Trainer:
                 # preemption responsiveness decoupled from the print
                 # cadence: a SIGTERM must reach the checkpoint within the
                 # pod eviction grace period, not within n_steps_print_loss.
-                # Single-process: act on the local flag immediately.
-                # Multihost: the stop decision is collective, so it runs at
-                # a deterministic short cadence on every host instead.
+                # Single-process: act on the local flag immediately (the
+                # check is host-local and free).
+                # Multihost: the stop decision is collective, and the
+                # allgather drains the async dispatch pipeline on every
+                # host — so the extra cadence is OPT-IN via
+                # n_steps_preempt_check (deployments with short eviction
+                # grace set it to a few steps; unset, the collective runs
+                # only at the print cadence above, the pre-round-3
+                # behavior with no steady-state cost).
                 (self.preempt_requested and jax.process_count() == 1)
-                or (jax.process_count() > 1 and self.steps
-                    % int(self.conf.get("n_steps_preempt_check", 10)) == 0)
+                or (jax.process_count() > 1
+                    and int(self.conf.get("n_steps_preempt_check", 0)) > 0
+                    and self.steps
+                    % int(self.conf["n_steps_preempt_check"]) == 0)
             ):
                 if self._check_memory_watchdog():
                     break

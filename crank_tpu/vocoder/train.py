@@ -127,14 +127,6 @@ class VocoderTrainer:
         self.hit_memory_watchdog = False
         self.mesh = mesh or get_mesh()
         c = self.conf
-        n_data = self.mesh.shape["data"]
-        if c["batch_size"] % n_data != 0:
-            # fail fast like the VC trainer: a non-divisible batch would
-            # surface as an opaque device_put sharding error mid-training
-            raise ValueError(
-                f"vocoder batch_size={c['batch_size']} must be a multiple "
-                f"of the {n_data}-device data-parallel axis"
-            )
         self.g = PWGVocoder(
             layers=c["layers"], stacks=c["stacks"],
             aux_channels=c.get("aux_channels", 80),
@@ -243,6 +235,17 @@ class VocoderTrainer:
 
     def train(self, dataset, n_steps=None):
         c = self.conf
+        n_data = self.mesh.shape["data"]
+        if c["batch_size"] % n_data != 0:
+            # fail fast like the VC trainer: a non-divisible batch would
+            # surface as an opaque device_put sharding error mid-training.
+            # Checked here, not in __init__: decode-only construction
+            # (bin/vocoder_decode) is per-utterance and batch-free, so it
+            # must not care about the training batch geometry.
+            raise ValueError(
+                f"vocoder batch_size={c['batch_size']} must be a multiple "
+                f"of the {n_data}-device data-parallel axis"
+            )
         n_steps = n_steps or c["n_steps"]
         for batch in self._prefetch(dataset, max(0, n_steps - self.steps)):
             self.rng, k = jax.random.split(self.rng)

@@ -259,3 +259,44 @@ def test_full_recipe_mcep_npwg(recipe):
     for line in mcd_lines:
         val = float(line.split()[-1])
         assert np.isnan(val) or 0 < val < 500
+
+
+def test_voc_routing_uses_merged_output_feat_type(tmp_path):
+    """Stage-6/7 vocoder routing keys off output_feat_type AFTER the
+    default.yml merge: a recipe conf that inherits its mcep-ness from
+    default.yml (or converts mlfb in / mcep out) must be routed down the
+    mcep path.  Regression for routing on the raw conf's input_feat_type,
+    which sent inherited-mcep confs to griffin_lim and an empty mcd.log."""
+    root = tmp_path / "recipe"
+    (root / "conf").mkdir(parents=True)
+    default = yaml.safe_load(
+        open(REPO / "egs/vaevc/template/conf/default.yml")
+    )
+    default["input_feat_type"] = "mcep"
+    default["output_feat_type"] = "mcep"
+    with open(root / "conf" / "default.yml", "w") as fp:
+        yaml.safe_dump(default, fp)
+    # override conf inherits both feat types from default.yml
+    with open(root / "conf" / "inherit.yml", "w") as fp:
+        yaml.safe_dump({"trainer_type": "vqvae"}, fp)
+
+    def run_voc(voc, conf):
+        return subprocess.run(
+            [sys.executable, "-m", "crank_tpu.bin.run", "--recipe",
+             str(root), "--conf", conf, "--stage", "9", "--stop_stage",
+             "8", "--voc", voc],
+            cwd=REPO, capture_output=True, text=True, timeout=300,
+        )
+
+    # inherited mcep: --voc WORLD is valid (no stage runs; the gate alone)
+    res = run_voc("WORLD", "conf/inherit.yml")
+    assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
+
+    # explicit mel output: --voc WORLD must be rejected with the message
+    with open(root / "conf" / "mel.yml", "w") as fp:
+        yaml.safe_dump(
+            {"input_feat_type": "mlfb", "output_feat_type": "mlfb"}, fp
+        )
+    res = run_voc("WORLD", "conf/mel.yml")
+    assert res.returncode != 0
+    assert "output_feat_type: mcep" in res.stdout + res.stderr
