@@ -24,6 +24,15 @@ in float32 on CPU, so tolerances grow with K from optimizer drift.
 import numpy as np
 import torch
 
+import pytest as _pytest_guard
+from pathlib import Path as _Path
+
+if not _Path("/root/reference").exists():  # e.g. GitHub CI
+    _pytest_guard.skip(
+        "reference implementation not present at /root/reference",
+        allow_module_level=True,
+    )
+
 import jax
 import jax.numpy as jnp
 
