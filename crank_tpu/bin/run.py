@@ -107,7 +107,11 @@ def main():
                              "decoding (default: latest in exp/vocoder — "
                              "i.e. the fine-tuned one when stage 6 ran the "
                              "fine-tune phase)")
-    parser.add_argument("--resume_checkpoint", type=str, default="None")
+    parser.add_argument("--resume_checkpoint", type=str, default="None",
+                        help="stage-3 resume: a checkpoint path, or "
+                             "LATEST to auto-pick the newest checkpoint "
+                             "under the experiment dir; stage 3 refuses "
+                             "to restart over existing checkpoints")
     parser.add_argument("--decode_checkpoint", type=str, default="None")
     parser.add_argument("--dev_utterances", type=int, default=3)
     parser.add_argument("--eval_utterances", type=int, default=5)
@@ -246,7 +250,34 @@ def main():
         from crank_tpu.train.checkpoint import find_latest_checkpoint
 
         ckpt = args.resume_checkpoint
-        for segment in range(1000):
+        if ckpt in ("", "None"):
+            existing = find_latest_checkpoint(expdir / confname)
+            if existing is not None:
+                # re-running stage 3 without --resume_checkpoint would
+                # restart from step 0 and progressively overwrite the
+                # step-named checkpoints of an interrupted long run
+                raise SystemExit(
+                    f"stage 3: {existing} already exists — resume with "
+                    f"--resume_checkpoint {existing} (or LATEST), or move "
+                    f"{expdir / confname} aside to restart from scratch"
+                )
+        elif ckpt == "LATEST":
+            latest = find_latest_checkpoint(expdir / confname)
+            if latest is None:
+                raise SystemExit(
+                    f"--resume_checkpoint LATEST: no checkpoint under "
+                    f"{expdir / confname}"
+                )
+            ckpt = str(latest)
+            print(f"[run] resuming from {ckpt}")
+        # don't clobber logs of a previous invocation: continue the
+        # train.log / train.segN.log numbering after the last existing one
+        seg0 = 0
+        while (expdir / confname / (
+                "train.log" if seg0 == 0 else f"train.seg{seg0}.log"
+        )).exists():
+            seg0 += 1
+        for segment in range(seg0, seg0 + 1000):
             log = expdir / confname / (
                 "train.log" if segment == 0 else f"train.seg{segment}.log"
             )

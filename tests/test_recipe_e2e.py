@@ -300,3 +300,38 @@ def test_voc_routing_uses_merged_output_feat_type(tmp_path):
     res = run_voc("WORLD", "conf/mel.yml")
     assert res.returncode != 0
     assert "output_feat_type: mcep" in res.stdout + res.stderr
+
+
+def test_stage3_refuses_silent_restart(tmp_path):
+    """Re-running stage 3 over existing checkpoints must fail loudly
+    instead of restarting from step 0 and overwriting the step-named
+    checkpoints of an interrupted long run."""
+    root = tmp_path / "recipe"
+    (root / "conf").mkdir(parents=True)
+    default = yaml.safe_load(
+        open(REPO / "egs/vaevc/template/conf/default.yml")
+    )
+    with open(root / "conf" / "default.yml", "w") as fp:
+        yaml.safe_dump(default, fp)
+    with open(root / "conf" / "t.yml", "w") as fp:
+        yaml.safe_dump({"trainer_type": "vqvae"}, fp)
+    (root / "exp" / "t").mkdir(parents=True)
+    (root / "exp" / "t" / "checkpoint_50steps.pkl").touch()
+
+    def run3(extra=()):
+        return subprocess.run(
+            [sys.executable, "-m", "crank_tpu.bin.run", "--recipe",
+             str(root), "--conf", "conf/t.yml", "--stage", "3",
+             "--stop_stage", "3", *extra],
+            cwd=REPO, capture_output=True, text=True, timeout=300,
+        )
+
+    res = run3()
+    assert res.returncode != 0
+    assert "checkpoint_50steps.pkl already exists" in res.stdout + res.stderr
+
+    # LATEST with an empty expdir is also a loud error
+    (root / "exp" / "t" / "checkpoint_50steps.pkl").unlink()
+    res = run3(extra=("--resume_checkpoint", "LATEST"))
+    assert res.returncode != 0
+    assert "no checkpoint under" in res.stdout + res.stderr
