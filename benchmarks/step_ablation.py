@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Training-step cost ablation at production geometry.
+
+Times the jitted `vqvae` step under component/precision ablations so the
+throughput headline (bench.py) can be decomposed:
+
+  full        G + SPKRADV + C updates, f32 (the bench.py workload)
+  g_only      G update only (spkradv/classifier off)
+  bf16        full step with the generator's conv stacks in bfloat16
+  g_only_bf16 both ablations
+
+Prints one JSON line per variant: frames/sec/chip, per-device
+cost-analysis FLOPs, and MFU where the chip peak is known.  Run on the
+TPU; on CPU it still works for plumbing checks (CRANK_TPU_BENCH_SMOKE=1
+shrinks geometry).
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+SMOKE = bool(int(os.environ.get("CRANK_TPU_BENCH_SMOKE", "0")))
+
+_PEAK_FLOPS = {"v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12,
+               "v4": 275e12, "v6": 918e12, "v6e": 918e12}
+
+
+def _peak(device):
+    kind = device.device_kind.lower()
+    for key, val in _PEAK_FLOPS.items():
+        if key in kind:
+            return val
+    return None
+
+
+def bench_variant(name, conf_overrides):
+    from crank_tpu.configs import default_conf
+    from crank_tpu.parallel.mesh import get_mesh, replicate, shard_batch
+    from crank_tpu.train.factory import build_models, init_models
+    from crank_tpu.train.optim import make_optimizers
+    from crank_tpu.train.steps import Mode, StepFactory
+
+    spkr_size = 4
+    conf = default_conf(**conf_overrides)
+    B, T, D = conf["batch_size"], conf["batch_len"], conf["input_size"]
+    if SMOKE:
+        B, T = 4, 64
+    mesh = get_mesh()
+    n_chips = mesh.shape["data"]
+    B = B * n_chips
+
+    models = build_models(conf, spkr_size)
+    params, ema = init_models(models, conf, spkr_size, jax.random.PRNGKey(0),
+                              B=2, T=T)
+    opts = make_optimizers(conf, list(models.keys()))
+    state = {"params": params, "ema": ema,
+             "opt": {m: opts[m].init(params[m]) for m in models}}
+    state = {k: replicate(v, mesh) for k, v in state.items()}
+
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((B, T, D)).astype(np.float32)
+    ones_m = np.ones((B, T, 1), bool)
+    oh = np.eye(spkr_size, dtype=np.float32)
+    batch = {
+        "in_feats": feats, "out_feats": feats,
+        "lcf0": rng.standard_normal((B, T, 1)).astype(np.float32),
+        "uv": (rng.random((B, T, 1)) > 0.3).astype(np.float32),
+        "cv_lcf0": rng.standard_normal((B, T, 1)).astype(np.float32),
+        "org_h": np.tile(rng.integers(0, spkr_size, (B, 1)), (1, T)),
+        "cv_h": np.tile(rng.integers(0, spkr_size, (B, 1)), (1, T)),
+        "org_h_onehot": oh[rng.integers(0, spkr_size, B)][:, None]
+        .repeat(T, 1),
+        "cv_h_onehot": oh[rng.integers(0, spkr_size, B)][:, None]
+        .repeat(T, 1),
+        "encoder_mask": ones_m, "decoder_mask": ones_m,
+        "cycle_encoder_mask": ones_m, "cycle_decoder_mask": ones_m,
+    }
+    batch = shard_batch(batch, mesh)
+
+    factory = StepFactory(conf, models, opts, spkr_size=spkr_size)
+    step = factory.make_step(Mode(trainer_type="vqvae"))
+    key = jax.random.PRNGKey(1)
+
+    flops = None
+    try:
+        compiled = step.lower(state, batch, key).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca["flops"])
+        step = compiled
+    except Exception:
+        pass
+
+    for _ in range(2):
+        key, k = jax.random.split(key)
+        state, loss = step(state, batch, k)
+    jax.block_until_ready(loss["G"])
+
+    n_iters = 2 if SMOKE else 10
+    n_windows = 1 if SMOKE else 3
+    best = float("inf")
+    for w in range(n_windows):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            key, k = jax.random.split(key)
+            state, loss = step(state, batch, k)
+        jax.block_until_ready(loss["G"])
+        best = min(best, time.perf_counter() - t0)
+        if w < n_windows - 1:
+            time.sleep(10)
+
+    fps = B * T * n_iters / best / n_chips
+    peak = _peak(jax.devices()[0])
+    mfu = flops * n_iters / best / peak if (flops and peak) else None
+    print(json.dumps({
+        "variant": name,
+        "frames_per_sec_per_chip": round(fps, 1),
+        "step_ms": round(best / n_iters * 1e3, 2),
+        "flops_per_step_per_device": flops,
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "device": jax.devices()[0].device_kind,
+    }), flush=True)
+
+
+def main():
+    variants = [
+        ("full", {}),
+        ("g_only", {"use_spkradv_training": False,
+                    "use_spkr_classifier": False}),
+        ("bf16", {"mixed_precision": "bf16"}),
+        ("g_only_bf16", {"use_spkradv_training": False,
+                         "use_spkr_classifier": False,
+                         "mixed_precision": "bf16"}),
+    ]
+    only = os.environ.get("CRANK_TPU_ABLATION_ONLY")
+    for name, overrides in variants:
+        if only and name != only:
+            continue
+        bench_variant(name, overrides)
+
+
+if __name__ == "__main__":
+    main()
