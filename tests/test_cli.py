@@ -145,3 +145,36 @@ def test_world_synthesis(tmp_path):
     y, fs2 = read_wav(wavf)
     assert fs2 == fs and np.isfinite(y).all()
     assert np.sqrt(np.mean(np.asarray(y, np.float64) ** 2)) > 0.01
+
+
+def test_analyzer_crosscheck_gating_and_pairing(tmp_path):
+    """tools/analyzer_crosscheck.py: exits 2 with a clear message when
+    pyworld/pysptk are absent (the zero-egress build env), and its
+    ground-truth pairing follows the decoded-stem contract."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "analyzer_crosscheck", REPO / "tools" / "analyzer_crosscheck.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    # pairing: per-speaker dir layout and flat <spkr>_<uid>.wav layout
+    gt = tmp_path / "gt"
+    (gt / "TM1").mkdir(parents=True)
+    (gt / "TM1" / "30001.wav").write_bytes(b"RIFF")
+    (gt / "SF1_30002.wav").write_bytes(b"RIFF")
+    assert mod.find_gt_wav(gt, "TM1", "30001").name == "30001.wav"
+    assert mod.find_gt_wav(gt, "SF1", "30002").name == "SF1_30002.wav"
+    assert mod.find_gt_wav(gt, "TM1", "99999") is None
+
+    has_pyworld = importlib.util.find_spec("pyworld") is not None
+    if not has_pyworld:
+        res = subprocess.run(
+            [sys.executable, str(REPO / "tools" / "analyzer_crosscheck.py"),
+             "--conf", "x", "--spkr_conf", "x", "--outwavdir", str(tmp_path),
+             "--gt_wavdir", str(gt)],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert res.returncode == 2, res.stdout + res.stderr
+        assert "pyworld" in res.stderr
