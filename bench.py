@@ -46,25 +46,6 @@ BASELINE_CPU_FRAMES_PER_SEC = 6302.0
 BASELINE_CPU_ALLCORE_FRAMES_PER_SEC = 6302.0
 BASELINE_CPU_CORES = 1
 
-# peak dense bf16 matmul throughput per chip (public spec sheets)
-_PEAK_FLOPS = {
-    "v5 lite": 197e12,   # TPU v5e
-    "v5e": 197e12,
-    "v5p": 459e12,
-    "v4": 275e12,
-    "v6": 918e12,        # Trillium
-    "v6e": 918e12,
-}
-
-
-def _peak_for(device):
-    kind = device.device_kind.lower()
-    for key, val in _PEAK_FLOPS.items():
-        if key in kind:
-            return val
-    return None
-
-
 def _compiled_flops(compiled):
     """XLA cost-analysis FLOPs of an AOT-compiled step (whole program)."""
     try:
@@ -85,6 +66,7 @@ def main():
     from crank_tpu.train.factory import build_models, init_models
     from crank_tpu.train.optim import make_optimizers
     from crank_tpu.train.steps import Mode, StepFactory
+    from crank_tpu.utils.benchutil import make_synthetic_batch, peak_bf16_flops
 
     spkr_size = 4
     conf = default_conf()
@@ -108,26 +90,9 @@ def main():
     }
     state = {k: replicate(v, mesh) for k, v in state.items()}
 
-    rng = np.random.default_rng(0)
-    feats = rng.standard_normal((B, T, D)).astype(np.float32)
-    ones_m = np.ones((B, T, 1), bool)
-    batch = {
-        "in_feats": feats,
-        "out_feats": feats,
-        "lcf0": rng.standard_normal((B, T, 1)).astype(np.float32),
-        "uv": (rng.random((B, T, 1)) > 0.3).astype(np.float32),
-        "cv_lcf0": rng.standard_normal((B, T, 1)).astype(np.float32),
-        "org_h": np.tile(rng.integers(0, spkr_size, (B, 1)), (1, T)),
-        "cv_h": np.tile(rng.integers(0, spkr_size, (B, 1)), (1, T)),
-        "org_h_onehot": np.eye(spkr_size, dtype=np.float32)[
-            rng.integers(0, spkr_size, B)][:, None, :].repeat(T, 1),
-        "cv_h_onehot": np.eye(spkr_size, dtype=np.float32)[
-            rng.integers(0, spkr_size, B)][:, None, :].repeat(T, 1),
-        "encoder_mask": ones_m,
-        "decoder_mask": ones_m,
-        "cycle_encoder_mask": ones_m,
-        "cycle_decoder_mask": ones_m,
-    }
+    batch = make_synthetic_batch(
+        np.random.default_rng(0), B, T, D, spkr_size
+    )
     batch = shard_batch(batch, mesh)
 
     factory = StepFactory(conf, models, opts, spkr_size=spkr_size)
@@ -170,7 +135,7 @@ def main():
     # _compiled_flops is per-device (post-SPMD shard), so per-chip MFU
     # divides by one chip's peak only, and flops/frame scales back to the
     # global batch by n_chips
-    peak = _peak_for(jax.devices()[0])
+    peak = peak_bf16_flops(jax.devices()[0])
     mfu = None
     if flops and peak:
         mfu = flops * n_iters / best_dt / peak

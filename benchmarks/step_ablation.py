@@ -28,24 +28,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 SMOKE = bool(int(os.environ.get("CRANK_TPU_BENCH_SMOKE", "0")))
 
-_PEAK_FLOPS = {"v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12,
-               "v4": 275e12, "v6": 918e12, "v6e": 918e12}
-
-
-def _peak(device):
-    kind = device.device_kind.lower()
-    for key, val in _PEAK_FLOPS.items():
-        if key in kind:
-            return val
-    return None
-
-
 def bench_variant(name, conf_overrides):
     from crank_tpu.configs import default_conf
     from crank_tpu.parallel.mesh import get_mesh, replicate, shard_batch
     from crank_tpu.train.factory import build_models, init_models
     from crank_tpu.train.optim import make_optimizers
     from crank_tpu.train.steps import Mode, StepFactory
+    from crank_tpu.utils.benchutil import make_synthetic_batch, peak_bf16_flops
 
     spkr_size = 4
     conf = default_conf(**conf_overrides)
@@ -64,24 +53,9 @@ def bench_variant(name, conf_overrides):
              "opt": {m: opts[m].init(params[m]) for m in models}}
     state = {k: replicate(v, mesh) for k, v in state.items()}
 
-    rng = np.random.default_rng(0)
-    feats = rng.standard_normal((B, T, D)).astype(np.float32)
-    ones_m = np.ones((B, T, 1), bool)
-    oh = np.eye(spkr_size, dtype=np.float32)
-    batch = {
-        "in_feats": feats, "out_feats": feats,
-        "lcf0": rng.standard_normal((B, T, 1)).astype(np.float32),
-        "uv": (rng.random((B, T, 1)) > 0.3).astype(np.float32),
-        "cv_lcf0": rng.standard_normal((B, T, 1)).astype(np.float32),
-        "org_h": np.tile(rng.integers(0, spkr_size, (B, 1)), (1, T)),
-        "cv_h": np.tile(rng.integers(0, spkr_size, (B, 1)), (1, T)),
-        "org_h_onehot": oh[rng.integers(0, spkr_size, B)][:, None]
-        .repeat(T, 1),
-        "cv_h_onehot": oh[rng.integers(0, spkr_size, B)][:, None]
-        .repeat(T, 1),
-        "encoder_mask": ones_m, "decoder_mask": ones_m,
-        "cycle_encoder_mask": ones_m, "cycle_decoder_mask": ones_m,
-    }
+    batch = make_synthetic_batch(
+        np.random.default_rng(0), B, T, D, spkr_size
+    )
     batch = shard_batch(batch, mesh)
 
     factory = StepFactory(conf, models, opts, spkr_size=spkr_size)
@@ -118,7 +92,7 @@ def bench_variant(name, conf_overrides):
             time.sleep(10)
 
     fps = B * T * n_iters / best / n_chips
-    peak = _peak(jax.devices()[0])
+    peak = peak_bf16_flops(jax.devices()[0])
     mfu = flops * n_iters / best / peak if (flops and peak) else None
     print(json.dumps({
         "variant": name,
@@ -140,11 +114,24 @@ def main():
                          "use_spkr_classifier": False,
                          "mixed_precision": "bf16"}),
     ]
+    # each variant's precision comes from its conf override; a stray
+    # CRANK_TPU_MIXED_PRECISION in the shell would take precedence inside
+    # VQVAE2Config.from_conf and silently run ALL variants at that
+    # precision while the JSON labels them as f32 baselines
+    if os.environ.pop("CRANK_TPU_MIXED_PRECISION", None) is not None:
+        print(json.dumps({"warning": "CRANK_TPU_MIXED_PRECISION ignored: "
+                          "the ablation sets precision per variant"}),
+              flush=True)
     only = os.environ.get("CRANK_TPU_ABLATION_ONLY")
     for name, overrides in variants:
         if only and name != only:
             continue
-        bench_variant(name, overrides)
+        os.environ["CRANK_TPU_MIXED_PRECISION"] = overrides.get(
+            "mixed_precision", "none")
+        try:
+            bench_variant(name, overrides)
+        finally:
+            del os.environ["CRANK_TPU_MIXED_PRECISION"]
 
 
 if __name__ == "__main__":

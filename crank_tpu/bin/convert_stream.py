@@ -175,7 +175,11 @@ def main():
     import queue as _queue
     import threading
 
-    work_q = _queue.Queue()
+    # bounded: if the consumer (readback + GL synthesis) falls behind, the
+    # producer blocks instead of accumulating unbounded in-flight device
+    # buffers + host tuples over a long stream (O(1) memory, like the old
+    # synchronous loop, while keeping the one-chunk overlap)
+    work_q = _queue.Queue(maxsize=4)
     cons = {"out": [], "busy": 0.0, "backlog_max": 0, "error": None,
             "latencies": [], "done_t": None}
 
@@ -213,7 +217,10 @@ def main():
                 prev_tail = wav_seg[(n_ctx + r) * hop :][:hop]
                 prev_tail = None if len(prev_tail) < hop else prev_tail
                 cons["out"].append(seg)
-                mel_ctx = ctx[-args.gl_ctx_frames :]
+                # n=0 must mean "no context" — ctx[-0:] would keep the
+                # whole history and make per-chunk GL cost grow unbounded
+                n_keep = args.gl_ctx_frames
+                mel_ctx = ctx[-n_keep:] if n_keep > 0 else ctx[:0]
             cons["latencies"].append(time.perf_counter() - t_arrive)
             cons["busy"] += time.perf_counter() - tw
 

@@ -102,6 +102,14 @@ def main():
             logging.info("--from_wav: re-analyzing synthesized wavs "
                          "instead of reading mcep dumps")
         converted_files = sorted(Path(args.outwavdir).rglob("*.wav"))
+    if not converted_files:
+        # exit non-zero BEFORE touching --out: a wrong --outwavdir or a
+        # deleted dump dir must not truncate a previous good score file
+        # and report success (run.py stage 7 checks the return code)
+        raise SystemExit(
+            f"no converted files found under {args.outwavdir} — "
+            "nothing to evaluate"
+        )
     converted_files = converted_files[args.job_index - 1::args.n_splits]
     logging.info("number of utterances = %d (job %d/%d)",
                  len(converted_files), args.job_index, args.n_splits)

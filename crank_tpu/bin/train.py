@@ -22,7 +22,7 @@ from crank_tpu.features.scaler import load_scaler
 from crank_tpu.train.checkpoint import find_latest_checkpoint, load_checkpoint
 from crank_tpu.train.dataset import get_dataloaders
 from crank_tpu.train.factory import build_models, init_models
-from crank_tpu.train.optim import make_optimizers
+from crank_tpu.train.optim import make_optimizers, warmstart_sched_anchors
 from crank_tpu.train.trainer import Trainer
 from crank_tpu.utils import load_yaml, open_featsscp, open_scpdir
 
@@ -75,23 +75,32 @@ def main():
         ckpt = find_latest_checkpoint(expdir)
         assert ckpt is not None, f"no checkpoint under {expdir}"
     rng_key = None
+    sched_anchors = None
     if ckpt is not None:
         logging.info("load checkpoint: %s", ckpt)
         payload = load_checkpoint(ckpt)
         params, ema, opt = payload["params"], payload["ema"], payload["opt"]
         resume = payload["steps"]
         rng_key = payload.get("rng")
-        opts = make_optimizers(conf, list(models.keys()))
+        # anchors persisted at warm-start time survive later relaunches;
+        # absent (plain resume / pre-anchor checkpoint) = conf-derived
+        sched_anchors = payload.get("sched_anchors")
         missing = [m for m in models if m not in params]
         if missing:
             # warm-start: e.g. resuming a vqvae-pretrain checkpoint under
             # an lsgan/cyclegan/stargan conf, where D did not exist yet.
             # Fresh-init the missing sub-models; their optimizers start at
-            # count 0 (the StepLR step_offset keeps decay on the global
-            # clock).  The reference has no equivalent — it must train
-            # all phases in a single run.
+            # count 0, and the StepLR anchors are re-derived from the
+            # ACTUAL timeline (resume may exceed n_steps_gan_start, moving
+            # D's first update and shrinking the stop-generator window).
+            # The reference has no equivalent — it must train all phases
+            # in a single run.
             logging.info("fresh-init sub-models missing from the "
                          "checkpoint: %s", missing)
+            sched_anchors = warmstart_sched_anchors(
+                conf, list(models.keys()), resume, missing
+            )
+            opts = make_optimizers(conf, list(models.keys()), sched_anchors)
             fresh_params, _ = init_models(
                 models, conf, spkr_size, jax.random.PRNGKey(1234),
                 T=dataloaders["batch_len"],
@@ -99,6 +108,8 @@ def main():
             for m in missing:
                 params[m] = fresh_params[m]
                 opt[m] = opts[m].init(params[m])
+        else:
+            opts = make_optimizers(conf, list(models.keys()), sched_anchors)
     else:
         params, ema = init_models(
             models, conf, spkr_size, jax.random.PRNGKey(1234),
@@ -135,6 +146,7 @@ def main():
         rng_key=rng_key,
         init_state={"params": params, "ema": ema, "opt": opt},
         n_jobs=args.n_jobs,
+        sched_anchors=sched_anchors,
     )
     if args.flag == "train":
         # preemption-safe resume: a SIGTERM (pod preemption notice /

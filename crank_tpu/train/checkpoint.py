@@ -77,6 +77,10 @@ def _write_orbax(path, payload):
         "opt_treedef": np.frombuffer(
             pickle.dumps(opt_treedef), dtype=np.uint8
         ).copy(),
+        # small dict with None values — not an array pytree; ship pickled
+        "sched_anchors": np.frombuffer(
+            pickle.dumps(payload.get("sched_anchors")), dtype=np.uint8
+        ).copy(),
     }
     # The payload is host-resident numpy (params replicated, pulled by the
     # trainer on process 0 only), so the save must NOT be a collective:
@@ -139,6 +143,7 @@ def save_checkpoint(expdir, state, async_write=False, fmt="pickle"):
         "ema": _to_numpy(state["ema"]),
         "opt": _to_numpy(state["opt"]),
         "rng": np.asarray(state["rng"]),
+        "sched_anchors": state.get("sched_anchors"),
     }
     if not async_write:
         wait_pending()  # never interleave with an async writer
@@ -176,6 +181,13 @@ def load_checkpoint(path):
             "ema": doc["ema"],
             "rng": np.asarray(doc["rng"]),
             "opt": jax.tree_util.tree_unflatten(opt_treedef, opt_leaves),
+            "sched_anchors": (
+                pickle.loads(
+                    np.asarray(doc["sched_anchors"], np.uint8).tobytes()
+                )
+                if "sched_anchors" in doc
+                else None
+            ),
         }
     with open(path, "rb") as fp:
         payload = pickle.load(fp)

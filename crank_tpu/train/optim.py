@@ -98,10 +98,60 @@ def schedule_gaps(conf, model_names):
     return gaps
 
 
-def make_optimizers(conf, model_names):
+def default_sched_anchors(conf, model_names):
+    """Conf-derived StepLR anchors, valid for a run that trains the whole
+    timeline (pretrain + GAN phase) in one conf — the reference's only
+    supported shape."""
     offs = step_offsets(conf, model_names)
     gaps = schedule_gaps(conf, model_names)
     return {
-        m: make_optimizer(conf["optim"][m], offs[m], *gaps[m])
+        m: {"step_offset": offs[m], "gap_at": gaps[m][0],
+            "gap_len": gaps[m][1]}
+        for m in model_names
+    }
+
+
+def warmstart_sched_anchors(conf, model_names, resume, missing):
+    """Anchors for warm-starting a non-GAN pretrain checkpoint at global
+    step ``resume`` under a GAN conf (the fresh-init-missing-sub-models
+    path in bin/train.py).
+
+    The conf-derived anchors assume the GAN phase begins exactly at
+    ``n_steps_gan_start``; with ``resume > gan_start`` the trainer's
+    global-step gating (trainer.py:113-121) starts D at ``resume + 1``
+    and shrinks (or skips) the stop-generator window, so the anchors are
+    re-derived from the actual timeline.  Valid because the pretrain
+    updated G every step (its optax count == resume).  The result is
+    persisted in checkpoints so later relaunches keep the same clock.
+    """
+    anchors = default_sched_anchors(conf, model_names)
+    if conf.get("trainer_type") not in _GAN_TRAINERS:
+        return anchors
+    gan_start = int(conf.get("n_steps_gan_start", 0))
+    stop = int(conf.get("n_steps_stop_generator", 0) or 0)
+    if "D" in missing and "D" in anchors:
+        anchors["D"]["step_offset"] = max(gan_start, int(resume)) + 1
+    if stop and "G" in anchors:
+        # the freeze window covers global steps gan_start+1..gan_start+stop;
+        # only the part after `resume` is actually skipped going forward
+        freeze_begin = max(gan_start, int(resume))  # G's count at freeze
+        skipped = max(0, gan_start + stop - freeze_begin)
+        if skipped == 0:
+            anchors["G"].update(gap_at=None, gap_len=0)
+        else:
+            anchors["G"].update(gap_at=freeze_begin + 1, gap_len=skipped)
+    return anchors
+
+
+def make_optimizers(conf, model_names, sched_anchors=None):
+    if sched_anchors is None:
+        sched_anchors = default_sched_anchors(conf, model_names)
+    return {
+        m: make_optimizer(
+            conf["optim"][m],
+            sched_anchors[m]["step_offset"],
+            sched_anchors[m]["gap_at"],
+            sched_anchors[m]["gap_len"],
+        )
         for m in model_names
     }

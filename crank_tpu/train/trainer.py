@@ -48,9 +48,14 @@ class Trainer:
         rng_key=None,
         mesh=None,
         n_jobs=-1,
+        sched_anchors=None,
     ):
         self.models = models
         self.conf = conf
+        # StepLR anchors persisted in checkpoints so a warm-started GAN
+        # run keeps its re-derived decay clock across relaunches (None =
+        # conf-derived defaults; see optim.warmstart_sched_anchors)
+        self.sched_anchors = sched_anchors
         self.feat_conf = conf["feature"]
         self.dataloaders = dataloaders
         self.scaler = scaler
@@ -578,6 +583,7 @@ class Trainer:
             "ema": self.state["ema"],
             "opt": self.state["opt"],
             "rng": self.rng,
+            "sched_anchors": self.sched_anchors,
         }
         path = save_checkpoint(
             self.expdir, state, async_write=True,

@@ -410,12 +410,15 @@ def test_checkpoint_atomic_and_async(tmp_path):
         "ema": {"c": np.zeros(3)},
         "opt": {"G": np.arange(4)},
         "rng": np.array([0, 1], np.uint32),
+        "sched_anchors": {"G": {"step_offset": 0, "gap_at": 6,
+                                "gap_len": 3}},
     }
     p = save_checkpoint(tmp_path, state, async_write=True)
     wait_pending()
     assert p.exists() and not list(tmp_path.glob("*.tmp"))
     payload = load_checkpoint(p)
     assert payload["steps"] == 7
+    assert payload["sched_anchors"] == state["sched_anchors"]
     np.testing.assert_array_equal(
         payload["params"]["G"]["w"], state["params"]["G"]["w"]
     )
@@ -453,6 +456,8 @@ def test_checkpoint_orbax_roundtrip(tmp_path):
         "ema": {"codebook": np.arange(12.0).reshape(3, 4)},
         "opt": {"G": jax.device_get(opt_state)},
         "rng": np.array([3, 4], np.uint32),
+        "sched_anchors": {"D": {"step_offset": 101, "gap_at": None,
+                                "gap_len": 0}},
     }
     p = save_checkpoint(tmp_path, state, async_write=True, fmt="orbax")
     wait_pending()
@@ -460,6 +465,7 @@ def test_checkpoint_orbax_roundtrip(tmp_path):
 
     back = load_checkpoint(p)
     assert back["steps"] == 9
+    assert back["sched_anchors"] == state["sched_anchors"]
     assert np.asarray(back["rng"]).dtype == np.uint32
     chex = jax.tree_util.tree_structure(back["opt"]["G"])
     assert chex == jax.tree_util.tree_structure(state["opt"]["G"])
