@@ -28,7 +28,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 SMOKE = bool(int(os.environ.get("CRANK_TPU_BENCH_SMOKE", "0")))
 
-def bench_variant(name, conf_overrides):
+def bench_variant(name, conf_overrides, mode_kwargs=None):
     from crank_tpu.configs import default_conf
     from crank_tpu.parallel.mesh import get_mesh, replicate, shard_batch
     from crank_tpu.train.factory import build_models, init_models
@@ -59,7 +59,10 @@ def bench_variant(name, conf_overrides):
     batch = shard_batch(batch, mesh)
 
     factory = StepFactory(conf, models, opts, spkr_size=spkr_size)
-    step = factory.make_step(Mode(trainer_type="vqvae"))
+    step = factory.make_step(
+        Mode(**({"trainer_type": "vqvae"} if mode_kwargs is None
+                else mode_kwargs))
+    )
     key = jax.random.PRNGKey(1)
 
     flops = None
@@ -106,13 +109,20 @@ def bench_variant(name, conf_overrides):
 
 def main():
     variants = [
-        ("full", {}),
+        ("full", {}, None),
         ("g_only", {"use_spkradv_training": False,
-                    "use_spkr_classifier": False}),
-        ("bf16", {"mixed_precision": "bf16"}),
+                    "use_spkr_classifier": False}, None),
+        ("bf16", {"mixed_precision": "bf16"}, None),
         ("g_only_bf16", {"use_spkradv_training": False,
                          "use_spkr_classifier": False,
-                         "mixed_precision": "bf16"}),
+                         "mixed_precision": "bf16"}, None),
+        # the reference flagship schedule's other two phases
+        # (template/conf/default.yml: cycle at 50k, gan at 100k of 200k;
+        # phases are mutually exclusive — trainer_lsgan.py:60-67)
+        ("cycle", {"use_cyclic_training": True},
+         {"trainer_type": "vqvae", "cycle_flag": True}),
+        ("gan", {"trainer_type": "lsgan"},
+         {"trainer_type": "lsgan", "gan_flag": True}),
     ]
     # each variant's precision comes from its conf override; a stray
     # CRANK_TPU_MIXED_PRECISION in the shell would take precedence inside
@@ -123,13 +133,13 @@ def main():
                           "the ablation sets precision per variant"}),
               flush=True)
     only = os.environ.get("CRANK_TPU_ABLATION_ONLY")
-    for name, overrides in variants:
+    for name, overrides, mode_kwargs in variants:
         if only and name != only:
             continue
         os.environ["CRANK_TPU_MIXED_PRECISION"] = overrides.get(
             "mixed_precision", "none")
         try:
-            bench_variant(name, overrides)
+            bench_variant(name, overrides, mode_kwargs)
         finally:
             del os.environ["CRANK_TPU_MIXED_PRECISION"]
 

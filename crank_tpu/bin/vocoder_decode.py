@@ -39,6 +39,20 @@ def main():
     voc_conf.setdefault("aux_channels", aux_channels_for(conf))
     ckpt = args.checkpoint or find_latest_checkpoint(args.expdir)
     assert ckpt, f"no vocoder checkpoint under {args.expdir}"
+    if args.checkpoint:
+        logging.info("decoding with explicit vocoder checkpoint %s", ckpt)
+    else:
+        # surface the default so a fine-tune regression can't hide: on
+        # pseudo4 the +20k reconstruction fine-tune DEGRADED MCD by
+        # 1.1-1.3 dB vs the pretrain-only checkpoint
+        # (egs/vaevc/pseudo4/RESULTS.md round-3 table) — pass
+        # --checkpoint (or run.py --voc_checkpoint) to pin a specific one
+        logging.info(
+            "decoding with LATEST vocoder checkpoint %s (the fine-tuned "
+            "one if stage 6 ran the fine-tune phase; pin a different one "
+            "with --checkpoint / run.py --voc_checkpoint if the "
+            "fine-tune hurts objective MCD on your corpus)", ckpt,
+        )
     state = load_checkpoint(ckpt)
     trainer = VocoderTrainer(voc_conf, args.expdir, resume_state=state)
 

@@ -24,7 +24,37 @@ def _np(t):
 
 def conv_to_flax(out, prefix, conv, weight_norm=True):
     """Write one torch Conv1d into flat flax dict ``out`` under
-    ``prefix`` (tuple path of the crank_tpu Conv1d module)."""
+    ``prefix`` (tuple path of the crank_tpu Conv1d module).
+
+    Two torch-side cases, auto-detected:
+
+    * weight norm still applied (``weight_v``/``weight_g`` present, the
+      reference's as-shipped training parametrization —
+      crank/net/module/vqvae2.py:250,269): transfer the (v, g)
+      decomposition DIRECTLY — flax kernel = v, flax scale = g — so the
+      flax WeightNorm trains the numerically identical parametrization
+      (both sides compute kernel = g * v / ||v|| per output channel;
+      torch dim=0 over [out,in,k] == flax feature_axes=-1 over
+      [k,in,out]).
+    * weight norm removed: plain weight W becomes the kernel and the
+      scale is set to ||W|| so the effective kernel reproduces W exactly.
+    """
+    v = getattr(conv, "weight_v", None)
+    if v is not None:  # torch weight norm applied: exact (v, g) transfer
+        kernel = np.transpose(_np(v), (2, 1, 0)).astype(np.float32)
+        out[prefix + ("Conv_0", "kernel")] = kernel
+        if conv.bias is not None:
+            out[prefix + ("Conv_0", "bias")] = _np(conv.bias).astype(
+                np.float32
+            )
+        if not weight_norm:
+            raise AssertionError(
+                "torch module has weight norm applied but the flax target "
+                "was built without WeightNorm params"
+            )
+        scale = _np(conv.weight_g).reshape(-1).astype(np.float32)  # [out]
+        out[prefix + ("WeightNorm_0", "Conv_0/kernel/scale")] = scale
+        return
     w = _np(conv.weight)  # [out, in, k]
     kernel = np.transpose(w, (2, 1, 0)).astype(np.float32)  # [k, in, out]
     out[prefix + ("Conv_0", "kernel")] = kernel

@@ -121,13 +121,21 @@ def make_inputs(seed=0, input_size=20):
     return x, dec_h, spkrvec
 
 
-def build_ref_g(conf, seed=7):
+def build_ref_g(conf, seed=7, keep_weight_norm=False):
+    """Build the reference VQVAE2.  ``keep_weight_norm=True`` leaves the
+    torch weight-norm reparametrization applied — the reference's
+    as-shipped TRAINING parametrization (crank/net/module/vqvae2.py:250,
+    269; remove_weight_norm exists at vqvae2.py:192-195 but is never
+    called during training).  transfer.conv_to_flax then maps (v, g)
+    directly onto the flax WeightNorm params, so both sides train the
+    numerically identical parametrization."""
     refenv.load_reference()
     from crank.net.module.vqvae2 import VQVAE2 as RefVQVAE2
 
     torch.manual_seed(seed)
     ref = RefVQVAE2(conf, spkr_size=SPKR_SIZE)
-    ref.remove_weight_norm()
+    if not keep_weight_norm:
+        ref.remove_weight_norm()
     ref.eval()
     return ref
 
