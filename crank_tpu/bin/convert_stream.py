@@ -83,8 +83,13 @@ def main():
     parser.add_argument("--spkr_yml", type=Path, default=None,
                         help="per-speaker f0 ranges for the F0 tracker")
     parser.add_argument("--out", type=Path, default=None,
-                        help="output wav (requires --synth gl)")
-    parser.add_argument("--synth", choices=["none", "gl"], default="gl")
+                        help="output wav (requires --synth gl or gl_device)")
+    parser.add_argument(
+        "--synth", choices=["none", "gl", "gl_device"], default="gl_device",
+        help="per-chunk synthesis: gl_device (default) fuses Griffin-Lim "
+             "into the jitted chunk step (one device round trip per chunk, "
+             "real-time end to end); gl is the host-side numpy fallback",
+    )
     parser.add_argument("--chunk_frames", type=int, default=32)
     parser.add_argument("--f0_ctx_ms", type=float, default=400.0)
     parser.add_argument("--gl_ctx_frames", type=int, default=32)
@@ -133,6 +138,8 @@ def main():
     conv = StreamingConverter(
         conf, len(spkrs), ckpt["params"]["G"], ckpt.get("ema"), scaler,
         spkrs, args.org_spkr, args.cv_spkr, chunk_frames=args.chunk_frames,
+        synth="gl" if args.synth == "gl_device" else "none",
+        gl_ctx_frames=args.gl_ctx_frames, gl_iters=args.gl_iters,
     )
 
     x, fs_in = read_wav(args.wav)
@@ -199,9 +206,23 @@ def main():
                 return
             r, packed, t_arrive = item
             tw = time.perf_counter()
-            cv_mel = conv.fetch(packed)["mlfb"][0][:r]
+            ret = conv.fetch(packed)
+            cv_mel = ret["mlfb"][0][:r]
             out_mels.append(cv_mel)
-            if args.synth == "gl":
+            if args.synth == "gl_device":
+                # synthesis already happened on device inside the chunk
+                # step; the host only cross-fades one hop at the boundary
+                wav_flat = np.concatenate(
+                    [ret["wav"][0], ret["wav_tail"][0]]
+                )
+                seg = wav_flat[: r * hop].copy()
+                if prev_tail is not None:
+                    ramp = np.linspace(0.0, 1.0, hop)
+                    seg[:hop] = (1 - ramp) * prev_tail + ramp * seg[:hop]
+                prev_tail = wav_flat[r * hop: r * hop + hop]
+                prev_tail = None if len(prev_tail) < hop else prev_tail
+                cons["out"].append(seg)
+            elif args.synth == "gl":
                 ctx = (
                     cv_mel
                     if mel_ctx is None
@@ -315,7 +336,7 @@ def main():
         "consumer_rtf": round(cons["busy"] / stream_s, 4),
         "backlog_max": cons["backlog_max"],
     }
-    if args.synth == "gl" and args.out is not None and out_wavs:
+    if args.synth in ("gl", "gl_device") and args.out is not None and out_wavs:
         wav = np.concatenate(out_wavs)
         peak = np.abs(wav).max()
         if peak > 1.0:

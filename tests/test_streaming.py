@@ -310,3 +310,91 @@ def test_streaming_zero_variance_bin_finite(tiny_setup):
     out = conv.push(mlfb, lcf0, uv)
     assert np.all(np.isfinite(out["mlfb"]))
     assert np.all(np.isfinite(out["f0"]))
+
+
+def test_chunk_gl_streaming_reconstruction():
+    """The fused per-chunk Griffin-Lim (dsp/gl.make_chunk_gl) synthesizes
+    coherent audio chunk-by-chunk: stream the log-mel of a harmonic tone
+    through it, cross-fade the segments like the CLI consumer, and assert
+    the re-analyzed mel of the output tracks the input mel."""
+    from crank_tpu.dsp.gl import make_chunk_gl
+    from crank_tpu.dsp.spectrum import logmelfilterbank
+
+    fc = {"fs": 16000, "fftl": 512, "win_length": 512, "hop_size": 128,
+          "mlfb_dim": 40, "fmin": 60, "fmax": 7600,
+          "window_types": ["hann"]}
+    fs, hop = fc["fs"], fc["hop_size"]
+    t = np.arange(fs) / fs  # 1 s
+    x = sum(a * np.sin(2 * np.pi * 220 * k * t)
+            for k, a in enumerate([0.5, 0.25, 0.12], start=1))
+    mel = logmelfilterbank(
+        x, fs, hop_size=hop, fft_size=fc["fftl"], num_mels=fc["mlfb_dim"],
+        fmin=fc["fmin"], fmax=fc["fmax"],
+    ).astype(np.float32)
+
+    Tc = 16
+    n_chunks = mel.shape[0] // Tc
+    fn, ctx = make_chunk_gl(fc, Tc, ctx_frames=16, n_iters=30)
+    segs, prev_tail = [], None
+    for i in range(n_chunks):
+        seg, ctx = fn(ctx, jnp.asarray(mel[None, i * Tc:(i + 1) * Tc]))
+        seg = np.asarray(seg)[0]
+        s = seg[: Tc * hop].copy()
+        if prev_tail is not None:
+            ramp = np.linspace(0.0, 1.0, hop)
+            s[:hop] = (1 - ramp) * prev_tail + ramp * s[:hop]
+        prev_tail = seg[Tc * hop:]
+        segs.append(s)
+    y = np.concatenate(segs)
+    assert np.all(np.isfinite(y)) and np.abs(y).max() > 1e-3
+
+    mel_y = logmelfilterbank(
+        y, fs, hop_size=hop, fft_size=fc["fftl"], num_mels=fc["mlfb_dim"],
+        fmin=fc["fmin"], fmax=fc["fmax"],
+    )
+    # non-centered synthesis of center-analyzed mel delays the audio by
+    # fftl/2 (= fftl//2//hop frames); search a small shift window
+    n = min(mel_y.shape[0], n_chunks * Tc)
+    best = -1.0
+    for shift in range(0, 5):
+        a = mel[Tc: n - Tc - shift]
+        b = mel_y[Tc + shift: n - Tc]
+        best = max(best, float(np.corrcoef(a.ravel(), b.ravel())[0, 1]))
+    assert best > 0.9, f"re-analyzed mel decorrelated: best corr {best}"
+
+
+def test_streaming_converter_device_gl(tiny_setup):
+    """synth="gl" returns per-chunk waveform samples without perturbing
+    the converted mel (identical to the synth="none" path)."""
+    conf, spkrs, scaler, models, params, ema = tiny_setup
+    hop = conf["feature"]["hop_size"]
+    rng = np.random.default_rng(29)
+    Tn = 32
+    mlfb = rng.standard_normal((Tn, conf["input_size"])).astype(np.float32)
+    lcf0 = (5.1 + 0.05 * rng.standard_normal((Tn, 1))).astype(np.float32)
+    uv = np.ones((Tn, 1), np.float32)
+
+    base = StreamingConverter(
+        conf, len(spkrs), params["G"], ema, scaler, spkrs,
+        org_spkr="SF1", cv_spkr="SM1", chunk_frames=CHUNK,
+    )
+    conv = StreamingConverter(
+        conf, len(spkrs), params["G"], ema, scaler, spkrs,
+        org_spkr="SF1", cv_spkr="SM1", chunk_frames=CHUNK,
+        synth="gl", gl_ctx_frames=8, gl_iters=5,
+    )
+    for t in range(0, Tn, CHUNK):
+        ref = base.push(mlfb[t:t + CHUNK], lcf0[t:t + CHUNK],
+                        uv[t:t + CHUNK])
+        out = conv.push(mlfb[t:t + CHUNK], lcf0[t:t + CHUNK],
+                        uv[t:t + CHUNK])
+        np.testing.assert_allclose(out["mlfb"], ref["mlfb"], atol=1e-5)
+        assert out["wav"].shape == (1, CHUNK * hop)
+        assert out["wav_tail"].shape == (1, hop)
+        assert np.all(np.isfinite(out["wav"]))
+    # reset restores both conv caches and the GL mel context
+    conv.reset()
+    out2 = conv.push(mlfb[:CHUNK], lcf0[:CHUNK], uv[:CHUNK])
+    conv.reset()
+    out3 = conv.push(mlfb[:CHUNK], lcf0[:CHUNK], uv[:CHUNK])
+    np.testing.assert_allclose(out2["wav"], out3["wav"], atol=1e-6)
