@@ -51,6 +51,56 @@ def _patch_torch():
         tnu.clip_grad_norm = tnu.clip_grad_norm_
 
 
+def _patch_numpy2(crank):
+    """numpy>=2 compatibility for the reference dataset.
+
+    * ``np.long`` (used at crank/net/trainer/dataset.py:155) was removed —
+      restore the int64 alias.
+    * ``sample[output_feat_type] == "excit"`` (dataset.py:111) compares an
+      ndarray to a string: under the reference's numpy this evaluated to a
+      scalar False (the branch was dead — and its body is a second bug, an
+      invalid ``np.hstack`` call); modern numpy raises.  Replace the method
+      with a faithful copy whose dead branch tests the evidently-intended
+      ``conf["output_feat_type"] == "excit"`` (still never taken for any
+      shipped conf, preserving the original semantics).
+    """
+    import numpy as np
+
+    if not hasattr(np, "long"):
+        np.long = np.int64
+
+    from crank.net.trainer import dataset as ref_dataset
+
+    if getattr(ref_dataset.BaseDataset, "_refparity_numpy2", False):
+        return
+
+    def _middle_getitem(self, sample):
+        if self.scaler is not None:
+            sample = self._transform(sample)
+        if "mcep" in self.features and not self.conf["use_mcep_0th"]:
+            sample["mcep_0th"] = sample["mcep"][..., :1]
+            sample["mcep"] = sample["mcep"][..., 1:]
+        if self.conf["output_feat_type"] == "excit":
+            sample["excit"] = np.hstack(
+                [sample["lcf0"], sample["uv"], sample["cap"]]
+            )
+        if self.conf["spec_augment"]:
+            raise NotImplementedError("SpecAugument currently disabled.")
+        sample = self._zero_padding(sample)
+        for ed in [
+            "encoder_mask",
+            "decoder_mask",
+            "cycle_encoder_mask",
+            "cycle_decoder_mask",
+        ]:
+            sample[ed] = np.copy(sample["mask"])
+        del sample["mask"]
+        return sample
+
+    ref_dataset.BaseDataset._middle_getitem = _middle_getitem
+    ref_dataset.BaseDataset._refparity_numpy2 = True
+
+
 def load_reference():
     """Import and return the reference ``crank`` package (cached)."""
     if "crank" in _loaded:
@@ -97,6 +147,8 @@ def load_reference():
     import crank.net.module.spkradv  # noqa: F401
     import crank.net.module.vqvae2  # noqa: F401
     import crank.net.trainer.trainer_vqvae  # noqa: F401
+
+    _patch_numpy2(crank)
 
     _loaded["crank"] = crank
     return crank
