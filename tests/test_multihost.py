@@ -9,7 +9,9 @@ parallel multi-host training. Covered here:
 * a REAL 2-process ``jax.distributed`` run (CPU, 2 virtual devices per
   process = 4 global): global batch assembly from per-process shards via the
   wire codec, one vqvae train step, parameters verified identical across
-  processes afterwards.
+  processes afterwards, then the pod-run orbax checkpoint protocol
+  (process-0-gated non-collective save, restore on every process) without
+  deadlock and with bit-exact round-trip.
 """
 
 import json
@@ -158,10 +160,47 @@ _WORKER = textwrap.dedent("""
     # local_rows returns exactly this process's rows
     lr = local_rows(dev["in_feats"])
     assert lr.shape[0] == B_LOCAL
+
+    # --- orbax checkpoint under multi-process (VERDICT r3 #8): the
+    # trainer's pod-run protocol is save on process 0 ONLY (the orbax
+    # writer restricts its sync domain to that process so the save is not
+    # a collective, checkpoint.py:_write_orbax), then every process
+    # restores the checkpoint on relaunch.  Exercise exactly that and
+    # prove no barrier deadlock + bit-exact restore on both processes.
+    from jax.experimental import multihost_utils
+    from crank_tpu.train.checkpoint import (
+        find_latest_checkpoint, load_checkpoint, save_checkpoint)
+
+    expdir = os.path.join(sys.argv[4], "ckpt")
+    host_state = {
+        "steps": 7,
+        "params": fetch_replicated(state["params"]),
+        "ema": fetch_replicated(state["ema"]),
+        "opt": fetch_replicated(state["opt"]),
+        "rng": jax.random.PRNGKey(7),
+    }
+    if pid == 0:
+        save_checkpoint(expdir, host_state, fmt="orbax")
+    multihost_utils.sync_global_devices("ckpt_written")
+    latest = find_latest_checkpoint(expdir)
+    assert latest is not None and latest.suffix == ".orbax", latest
+    restored = load_checkpoint(latest)
+    assert restored["steps"] == 7
+    for live, back in ((host_state["params"], restored["params"]),
+                       (host_state["ema"], restored["ema"]),
+                       (host_state["opt"], restored["opt"])):
+        la = jax.tree_util.tree_leaves(live)
+        ba = jax.tree_util.tree_leaves(back)
+        assert len(la) == len(ba)
+        for x, y in zip(la, ba):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    multihost_utils.sync_global_devices("ckpt_restored")
+
     print("RESULT " + json.dumps({
         "pid": pid, "gmean": float(gmean), "checksum": checksum,
         "G_loss": float(loss["G"]),
         "local_ok": bool(np.allclose(lr, batch["in_feats"], atol=2e-3)),
+        "orbax_ok": True,
     }))
 """)
 
@@ -185,7 +224,8 @@ def test_two_process_distributed_step(tmp_path):
     )
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(pid), str(port), str(REPO)],
+            [sys.executable, str(worker), str(pid), str(port), str(REPO),
+             str(tmp_path)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env,
         )
@@ -209,3 +249,5 @@ def test_two_process_distributed_step(tmp_path):
     assert results[0]["gmean"] == pytest.approx(results[1]["gmean"], rel=1e-5)
     assert np.isfinite(results[0]["G_loss"])
     assert results[0]["local_ok"] and results[1]["local_ok"]
+    # orbax save (process 0 only) + restore (both) completed, no deadlock
+    assert results[0]["orbax_ok"] and results[1]["orbax_ok"]
