@@ -27,3 +27,22 @@ if _os.environ.get("CRANK_TPU_PLATFORM"):
         _jax.config.update(
             "jax_num_cpu_devices", int(_os.environ["CRANK_TPU_CPU_DEVICES"])
         )
+
+_cache_dir = _os.environ.get(
+    "CRANK_TPU_COMPILE_CACHE", _os.path.expanduser("~/.cache/crank_tpu_xla")
+)
+if _cache_dir and _cache_dir != "0":
+    # Persistent XLA compilation cache: segmented production training (the
+    # memory-watchdog relaunch loop, train/trainer.py) re-jits the
+    # production-scale step on every segment, and phase flips
+    # (cycle/gan start) add new step programs mid-run — on a small host the
+    # recompiles cost minutes each.  With the cache they are disk hits.
+    # Opt out with CRANK_TPU_COMPILE_CACHE=0; point it elsewhere by path.
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # older jax without these flags: cache is optional
+        pass
