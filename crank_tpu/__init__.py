@@ -31,6 +31,16 @@ if _os.environ.get("CRANK_TPU_PLATFORM"):
 _cache_dir = _os.environ.get(
     "CRANK_TPU_COMPILE_CACHE", _os.path.expanduser("~/.cache/crank_tpu_xla")
 )
+# CPU runs (tests, stage subprocesses pinned off the chip) skip the cache
+# by default: XLA:CPU AOT entries are machine-feature-stamped and reloading
+# them warns (and can SIGILL across hosts); CPU compiles are cheap anyway.
+# Setting CRANK_TPU_COMPILE_CACHE explicitly overrides this.
+_cpu_forced = "cpu" in (
+    _os.environ.get("CRANK_TPU_PLATFORM") or _os.environ.get("JAX_PLATFORMS")
+    or ""
+)
+if _cpu_forced and "CRANK_TPU_COMPILE_CACHE" not in _os.environ:
+    _cache_dir = ""
 if _cache_dir and _cache_dir != "0":
     # Persistent XLA compilation cache: segmented production training (the
     # memory-watchdog relaunch loop, train/trainer.py) re-jits the
