@@ -271,12 +271,16 @@ def transfer(args):
     logging.info("wrote crank_tpu checkpoint: %s", path)
 
 
-def _parse_our_losses(train_log):
-    """Parse crank_tpu train.log into [{step, G, ...}] records."""
+def _parse_our_losses(expdir):
+    """Parse crank_tpu train logs (train.log + watchdog segments
+    train.seg*.log, in order) into [{step, G, ...}] records."""
+    logs = sorted(Path(expdir).glob("train*.log"),
+                  key=lambda p: (len(p.stem), p.stem))
+    text = "".join(p.read_text() for p in logs)
     hist, cur = [], None
     pat_iter = re.compile(r"train iterations: (\d+)")
     pat_loss = re.compile(r"INFO: ([A-Za-z0-9_]+): (-?[0-9.]+(?:e-?\d+)?)$")
-    for line in Path(train_log).read_text().splitlines():
+    for line in text.splitlines():
         m = pat_iter.search(line)
         if m:
             if cur:
@@ -349,11 +353,10 @@ def summarize(args):
 
     # --- loss curves
     ref_hist_f = ref_dir.parent / args.ref_tag / "loss_history.jsonl"
-    our_log = ours_dir / "train.log"
-    if ref_hist_f.exists() and our_log.exists():
+    if ref_hist_f.exists() and list(ours_dir.glob("train*.log")):
         ref_hist = [json.loads(x) for x in
                     ref_hist_f.read_text().splitlines()]
-        our_hist = _parse_our_losses(our_log)
+        our_hist = _parse_our_losses(ours_dir)
         ref_by_step = {h["step"]: h for h in ref_hist}
         window = []
         for h in our_hist:
