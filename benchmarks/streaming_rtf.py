@@ -15,6 +15,7 @@ Prints one JSON line per (chunk size, synth) variant.
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -73,9 +74,16 @@ def main():
         "unit": "ms",
     }))
 
-    for chunk, synth in ((8, "none"), (16, "none"), (32, "none"),
-                         (64, "none"), (8, "gl"), (16, "gl"), (32, "gl"),
-                         (64, "gl")):
+    variants = [(8, "none"), (16, "none"), (32, "none"), (64, "none"),
+                (8, "gl"), (16, "gl"), (32, "gl"), (64, "gl")]
+    # e.g. CRANK_TPU_STREAM_VARIANTS="gl:16,gl:32,none:16" to subset (each
+    # variant costs a fresh jit compile + 100 tunnel round trips)
+    sel = os.environ.get("CRANK_TPU_STREAM_VARIANTS")
+    if sel:
+        want = {tuple(v.split(":")) for v in sel.split(",")}
+        variants = [(c, s) for c, s in variants if (s, str(c)) in want]
+    n_meas = int(os.environ.get("CRANK_TPU_STREAM_ITERS", "50"))
+    for chunk, synth in variants:
         # synth="gl" fuses per-chunk Griffin-Lim synthesis into the jitted
         # step (dsp/gl.make_chunk_gl): the measured latency is then the
         # END-TO-END cost of a deployable stream — converted WAVEFORM out,
@@ -91,7 +99,7 @@ def main():
         uv = np.ones((chunk, 1), np.float32)
         conv.push(mlfb, lcf0, uv)  # compile
         lat = []
-        for _ in range(50):
+        for _ in range(n_meas):
             t0 = time.perf_counter()
             conv.push(mlfb, lcf0, uv)
             lat.append(time.perf_counter() - t0)
@@ -102,7 +110,7 @@ def main():
         # (push_async/fetch) — the sustained-throughput RTF of a live
         # stream on a remote/tunneled device
         m3, l3, u3 = mlfb[None], lcf0[None], uv[None]
-        n_pipe = 50
+        n_pipe = n_meas
         t0 = time.perf_counter()
         pending = conv.push_async(m3, l3, u3)
         for _ in range(n_pipe - 1):
