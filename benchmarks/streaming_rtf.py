@@ -7,9 +7,11 @@ causal=true) at several chunk sizes: per-chunk compute latency vs the
 chunk's audio duration.  real_time_factor < 1 at a given chunk size means
 live conversion sustains at that latency.
 
-Two synthesis modes per chunk size: synth=none (converted mel out — the
-model step alone) and synth=gl_device (per-chunk Griffin-Lim fused into
-the jitted step — converted WAVEFORM out, the deployable end-to-end cost).
+Three synthesis modes per chunk size: synth=none (converted mel out — the
+model step alone), synth=gl_device (per-chunk Griffin-Lim fused into the
+jitted step — converted WAVEFORM out), and synth=npwg (the causal
+streaming neural vocoder fused into the same step — waveform out at NPWG
+quality, production-geometry 30-layer WaveNet at sample rate).
 
 Prints one JSON line per (chunk size, synth) variant.
 """
@@ -74,8 +76,26 @@ def main():
         "unit": "ms",
     }))
 
+    # production-geometry CAUSAL vocoder (random init — latency only):
+    # layers/stacks/strides per vocoder DEFAULTS, aux = mel dim, hop 128
+    voc_conf = {
+        "layers": 30, "stacks": 3, "upsample_strides": [8, 4, 4],
+        "aux_channels": D, "causal": True,
+    }
+    from crank_tpu.vocoder.model import PWGVocoder
+
+    g_voc = PWGVocoder(
+        layers=30, stacks=3, aux_channels=D, upsample_strides=(8, 4, 4),
+        causal=True,
+    )
+    voc_params = g_voc.init(
+        jax.random.PRNGKey(1),
+        jnp.zeros((1, 16 * hop)), jnp.zeros((1, 16, D)),
+    )["params"]
+
     variants = [(8, "none"), (16, "none"), (32, "none"), (64, "none"),
-                (8, "gl"), (16, "gl"), (32, "gl"), (64, "gl")]
+                (8, "gl"), (16, "gl"), (32, "gl"), (64, "gl"),
+                (8, "npwg"), (16, "npwg"), (32, "npwg"), (64, "npwg")]
     # e.g. CRANK_TPU_STREAM_VARIANTS="gl:16,gl:32,none:16" to subset (each
     # variant costs a fresh jit compile + 100 tunnel round trips)
     sel = os.environ.get("CRANK_TPU_STREAM_VARIANTS")
@@ -92,6 +112,8 @@ def main():
             conf, len(spkrs), params["G"], ema, scaler, spkrs,
             "SF1", "TM1", chunk_frames=chunk, synth=synth,
             gl_ctx_frames=32, gl_iters=30,
+            voc_conf=voc_conf if synth == "npwg" else None,
+            voc_params=voc_params if synth == "npwg" else None,
         )
         mlfb = rng.standard_normal((chunk, D)).astype(np.float32)
         lcf0 = (5.2 + 0.1 * rng.standard_normal((chunk, 1))).astype(
@@ -123,7 +145,7 @@ def main():
         chunk_s = chunk * hop / fs
         print(json.dumps({
             "metric": "streaming_chunk_latency",
-            "synth": "gl_device" if synth == "gl" else "none",
+            "synth": {"gl": "gl_device", "npwg": "npwg"}.get(synth, "none"),
             "chunk_frames": chunk,
             "chunk_ms": round(chunk_s * 1000, 2),
             "latency_ms_mean": round(float(lat.mean()) * 1000, 3),

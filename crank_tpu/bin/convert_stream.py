@@ -83,12 +83,21 @@ def main():
     parser.add_argument("--spkr_yml", type=Path, default=None,
                         help="per-speaker f0 ranges for the F0 tracker")
     parser.add_argument("--out", type=Path, default=None,
-                        help="output wav (requires --synth gl or gl_device)")
+                        help="output wav (requires --synth gl/gl_device/npwg)")
     parser.add_argument(
-        "--synth", choices=["none", "gl", "gl_device"], default="gl_device",
+        "--synth", choices=["none", "gl", "gl_device", "npwg"],
+        default="gl_device",
         help="per-chunk synthesis: gl_device (default) fuses Griffin-Lim "
              "into the jitted chunk step (one device round trip per chunk, "
-             "real-time end to end); gl is the host-side numpy fallback",
+             "real-time end to end); npwg fuses the causal streaming "
+             "neural vocoder instead (requires --voc_checkpoint trained "
+             "with vocoder: {causal: true} — continuous across chunks, "
+             "no cross-fade, NPWG quality); gl is the host-side numpy "
+             "fallback",
+    )
+    parser.add_argument(
+        "--voc_checkpoint", type=Path, default=None,
+        help="causal vocoder checkpoint for --synth npwg",
     )
     parser.add_argument("--chunk_frames", type=int, default=32)
     parser.add_argument("--f0_ctx_ms", type=float, default=400.0)
@@ -135,11 +144,26 @@ def main():
             minf0 = float(spkr_conf[args.org_spkr].get("minf0", minf0))
             maxf0 = float(spkr_conf[args.org_spkr].get("maxf0", maxf0))
 
+    voc_conf, voc_params = None, None
+    if args.synth == "npwg":
+        if args.voc_checkpoint is None:
+            raise SystemExit("--synth npwg requires --voc_checkpoint")
+        from crank_tpu.vocoder.train import aux_channels_for
+
+        voc_conf = dict(conf.get("vocoder", {}))
+        voc_conf.setdefault("aux_channels", aux_channels_for(conf))
+        voc_conf.setdefault("causal", True)
+        voc_params = load_checkpoint(args.voc_checkpoint)["params"]["G"]
+        logging.info("streaming synthesis: causal NPWG from %s",
+                     args.voc_checkpoint)
+
+    synth_mode = {"gl_device": "gl", "npwg": "npwg"}.get(args.synth, "none")
     conv = StreamingConverter(
         conf, len(spkrs), ckpt["params"]["G"], ckpt.get("ema"), scaler,
         spkrs, args.org_spkr, args.cv_spkr, chunk_frames=args.chunk_frames,
-        synth="gl" if args.synth == "gl_device" else "none",
+        synth=synth_mode,
         gl_ctx_frames=args.gl_ctx_frames, gl_iters=args.gl_iters,
+        voc_conf=voc_conf, voc_params=voc_params,
     )
 
     x, fs_in = read_wav(args.wav)
@@ -209,7 +233,11 @@ def main():
             ret = conv.fetch(packed)
             cv_mel = ret["mlfb"][0][:r]
             out_mels.append(cv_mel)
-            if args.synth == "gl_device":
+            if args.synth == "npwg":
+                # fused neural-vocoder synthesis: the WaveNet output is
+                # continuous across chunk boundaries — append as-is
+                cons["out"].append(ret["wav"][0][: r * hop].copy())
+            elif args.synth == "gl_device":
                 # synthesis already happened on device inside the chunk
                 # step; the host only cross-fades one hop at the boundary
                 wav_flat = np.concatenate(
@@ -336,7 +364,8 @@ def main():
         "consumer_rtf": round(cons["busy"] / stream_s, 4),
         "backlog_max": cons["backlog_max"],
     }
-    if args.synth in ("gl", "gl_device") and args.out is not None and out_wavs:
+    if (args.synth in ("gl", "gl_device", "npwg") and args.out is not None
+            and out_wavs):
         wav = np.concatenate(out_wavs)
         peak = np.abs(wav).max()
         if peak > 1.0:

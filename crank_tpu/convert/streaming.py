@@ -48,11 +48,19 @@ class StreamingConverter:
         Source and target speaker names.
     chunk_frames : int
         Frames per chunk (fixed; one XLA compilation).
+    synth : str
+        Per-chunk waveform synthesis fused into the jitted step:
+        ``"none"`` (mel out), ``"gl"`` (on-device Griffin-Lim with
+        trailing mel context + host cross-fade), or ``"npwg"`` (causal
+        streaming neural vocoder — pass ``voc_conf`` + ``voc_params``
+        from a ``vocoder: {causal: true}`` checkpoint; continuous across
+        chunks, no cross-fade).
     """
 
     def __init__(self, conf, spkr_size, params, ema, scaler, spkrs,
                  org_spkr, cv_spkr, chunk_frames=32, batch=1,
-                 synth="none", gl_ctx_frames=32, gl_iters=30):
+                 synth="none", gl_ctx_frames=32, gl_iters=30,
+                 voc_conf=None, voc_params=None, voc_seed=0):
         if not conf.get("causal"):
             raise ValueError(
                 "streaming conversion requires a causal model (causal: true)"
@@ -102,16 +110,41 @@ class StreamingConverter:
         # demo slower than real time, VERDICT r3 weak #1).
         self.synth = synth
         self._hop = conf["feature"]["hop_size"]
-        gl_fn, mel_ctx0 = None, None
+        gl_fn, synth_state0 = None, None
+        voc_model, voc_key = None, None
+        self._synth_params = None
         if synth == "gl":
             from crank_tpu.dsp.gl import make_chunk_gl
 
-            gl_fn, mel_ctx0 = make_chunk_gl(
+            gl_fn, synth_state0 = make_chunk_gl(
                 conf["feature"], self.chunk_frames,
                 ctx_frames=gl_ctx_frames, n_iters=gl_iters, batch=B,
             )
-        self._mel_ctx0 = mel_ctx0
-        self._mel_ctx = mel_ctx0
+        elif synth == "npwg":
+            # fused neural-vocoder synthesis: the causal streaming
+            # PWGVocoder runs inside the same jitted chunk step, so the
+            # converted WAVEFORM still costs one device round trip per
+            # chunk — and, unlike per-chunk GL, the WaveNet output is
+            # continuous across chunk boundaries (no cross-fade, no mel
+            # context window, ~3 dB better MCD on pseudo4,
+            # egs/vaevc/pseudo4/RESULTS.md)
+            from crank_tpu.vocoder.streaming import build_streaming_vocoder
+
+            voc_model, voc_cache0 = build_streaming_vocoder(
+                voc_conf or {}, self.chunk_frames, batch=B
+            )
+            if voc_model.hop_size != self._hop:
+                raise ValueError(
+                    f"vocoder hop {voc_model.hop_size} != feature hop "
+                    f"{self._hop} (upsample_strides must multiply to hop)"
+                )
+            # carried synth state = (conv caches, per-chunk noise counter);
+            # noise is fold_in(key, counter) so streams are reproducible
+            synth_state0 = (voc_cache0, jnp.zeros((), jnp.int32))
+            voc_key = jax.random.PRNGKey(voc_seed)
+            self._synth_params = voc_params
+        self._synth_state0 = synth_state0
+        self._synth_state = synth_state0
         hop = self._hop
 
         # All per-chunk conditioning math is affine on device-resident
@@ -148,7 +181,7 @@ class StreamingConverter:
         # transfer costs a full round trip (~27 ms measured), so the step
         # takes ONE array in and returns ONE array out
         @jax.jit
-        def _step(params, ema, cache, mel_ctx, packed):
+        def _step(params, ema, cache, synth_state, synth_params, packed):
             mlfb_raw = packed[..., :-2]
             lcf0_raw = packed[..., -2:-1]
             uv = packed[..., -1:]
@@ -191,7 +224,7 @@ class StreamingConverter:
                 # fused synthesis: wav seg [B, T*hop + hop] is packed into
                 # two [B, T, hop] feature blocks (chunk samples reshaped +
                 # the cross-fade tail parked in frame 0 of the second)
-                seg, mel_ctx = gl_fn(mel_ctx, out_mlfb)
+                seg, synth_state = gl_fn(synth_state, out_mlfb)
                 wav_chunk = seg[:, : T * hop].reshape(B, T, hop)
                 tail_block = (
                     jnp.zeros((B, T, hop), jnp.float32)
@@ -200,7 +233,20 @@ class StreamingConverter:
                 packed_out = jnp.concatenate(
                     [packed_out, wav_chunk, tail_block], axis=-1
                 )
-            return packed_out, newv["cache"], mel_ctx
+            elif voc_model is not None:
+                voc_cache, ctr = synth_state
+                z = jax.random.normal(
+                    jax.random.fold_in(voc_key, ctr), (B, T * hop)
+                )
+                wav, newvoc = voc_model.apply(
+                    {"params": synth_params, "cache": voc_cache},
+                    z, out_mlfb, mutable=["cache"],
+                )
+                synth_state = (newvoc["cache"], ctr + 1)
+                packed_out = jnp.concatenate(
+                    [packed_out, wav.reshape(B, T, hop)], axis=-1
+                )
+            return packed_out, newv["cache"], synth_state
 
         self._step = _step
 
@@ -209,7 +255,7 @@ class StreamingConverter:
     def reset(self):
         """Clear all conv-state caches (start of a new stream)."""
         self.cache = self._cache0
-        self._mel_ctx = self._mel_ctx0
+        self._synth_state = self._synth_state0
 
     def _condition(self, lcf0_raw, uv):
         """Build (enc_h, dec_h, spkrvec) from raw log-F0 + voicing.
@@ -299,8 +345,9 @@ class StreamingConverter:
         of chunk *k+1*, hiding one transfer round trip per chunk on
         tunneled/remote devices."""
         packed = np.concatenate([mlfb, lcf0_raw, uv], axis=-1)
-        packed_out, self.cache, self._mel_ctx = self._step(
-            self._params, self._ema, self.cache, self._mel_ctx, packed
+        packed_out, self.cache, self._synth_state = self._step(
+            self._params, self._ema, self.cache, self._synth_state,
+            self._synth_params, packed
         )
         return packed_out
 
@@ -318,6 +365,12 @@ class StreamingConverter:
             out = {"mlfb": arr[..., :D], "f0": arr[..., D:D + 1]}
             out["wav"] = arr[..., D + 1:D + 1 + hop].reshape(arr.shape[0], -1)
             out["wav_tail"] = arr[:, 0, D + 1 + hop:]
+        elif self.synth == "npwg":
+            hop = self._hop
+            D = arr.shape[-1] - 1 - hop
+            out = {"mlfb": arr[..., :D], "f0": arr[..., D:D + 1]}
+            # WaveNet output is continuous across chunks: no tail/cross-fade
+            out["wav"] = arr[..., D + 1:].reshape(arr.shape[0], -1)
         else:
             out = {"mlfb": arr[..., :-1], "f0": arr[..., -1:]}
         if uv is not None:

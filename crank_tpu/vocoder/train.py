@@ -67,6 +67,7 @@ DEFAULTS = {
     "layers": 30,
     "stacks": 3,
     "upsample_strides": [8, 4, 4],
+    "causal": False,  # strictly-causal convs -> streamable checkpoint
 }
 
 
@@ -131,6 +132,7 @@ class VocoderTrainer:
             layers=c["layers"], stacks=c["stacks"],
             aux_channels=c.get("aux_channels", 80),
             upsample_strides=tuple(c["upsample_strides"]),
+            causal=bool(c["causal"]),
         )
         self.d = ConvDiscriminator(out_channels=1, kernel_size=3, layers=10,
                                    conv_channels=64, dilation_factor=1)
