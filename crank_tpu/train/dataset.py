@@ -350,22 +350,29 @@ class VectorizedLoader:
     def __len__(self):
         return len(self.ds) // self.batch_size
 
-    def _assemble(self, idxs):
+    def _sample_plan(self, idxs):
+        """Per-batch sampling decisions (crop offset, cv speaker) as [B]
+        vectors.  Shared by the host assembly below and the device-resident
+        loader (device_loader.py), so both consume the IDENTICAL RNG stream:
+        crop offsets uniform over [0, flen - L) when longer (parity with
+        _zero_padding's random.choice(range(flen - L))), cv speaker != org."""
         ds, L, B = self.ds, self.L, len(idxs)
-        S = ds.n_spkrs
         flen = self.flens[idxs]
-        # crop offsets: uniform over [0, flen - L) when longer (parity with
-        # _zero_padding's random.choice(range(flen - L)))
         over = np.maximum(flen - L, 1)
         p = (self.rng.random(B) * np.where(flen > L, over, 1)).astype(
             np.int64
         ) * (flen > L)
+        org = self.spkr_ids[idxs]
+        shift = self.rng.integers(1, ds.n_spkrs, size=B)
+        cv = (org + shift) % ds.n_spkrs
+        return p, org, cv, flen
+
+    def _assemble(self, idxs):
+        ds, L, B = self.ds, self.L, len(idxs)
+        S = ds.n_spkrs
+        p, org, cv, flen = self._sample_plan(idxs)
         t_idx = p[:, None] + np.arange(L)[None, :]          # [B, L]
         valid = t_idx < flen[:, None]                        # [B, L]
-        org = self.spkr_ids[idxs]
-        # random cv speaker != org, vectorized
-        shift = self.rng.integers(1, S, size=B)
-        cv = (org + shift) % S
 
         b = {}
         rows = idxs[:, None]

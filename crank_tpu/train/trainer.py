@@ -299,8 +299,27 @@ class Trainer:
             return True
         return False
 
+    def _train_iterator(self):
+        """Training batches, device-resident and 'data'-sharded.
+
+        Preferred path: on-device batch assembly from HBM-resident feature
+        banks (device_loader.py) — each step ships five [B] int vectors
+        instead of ~20 MB of host-assembled tensors, so a small/tunneled
+        host no longer paces the accelerator.  Falls back to the host
+        loader + wire-codec + prefetch pipeline when ineligible
+        (multi-process input sharding, raw waveforms, SpecAugment)."""
+        from crank_tpu.train.device_loader import maybe_device_loader
+
+        train = maybe_device_loader(
+            self.dataloaders["train"], self.mesh, self.conf
+        )
+        self.dataloaders["train"] = train
+        if getattr(train, "device_resident", False):
+            return iter(train)
+        return self._prefetch(train)
+
     def _tr_epoch(self):
-        for dev_batch in self._prefetch(self.dataloaders["train"]):
+        for dev_batch in self._train_iterator():
             self._maybe_profile()
             step_fn = self.factory.make_step(self._mode())
             self.state, loss = step_fn(self.state, dev_batch, self._next_rng())
