@@ -123,6 +123,10 @@ def main():
          {"trainer_type": "vqvae", "cycle_flag": True}),
         ("gan", {"trainer_type": "lsgan"},
          {"trainer_type": "lsgan", "gan_flag": True}),
+        # stargan: cycle_forward-based G update + switch_update-gated D
+        # (reference trainer_stargan.py:51-118)
+        ("stargan", {"trainer_type": "stargan"},
+         {"trainer_type": "stargan", "gan_flag": True}),
     ]
     # each variant's precision comes from its conf override; a stray
     # CRANK_TPU_MIXED_PRECISION in the shell would take precedence inside

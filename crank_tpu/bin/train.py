@@ -64,7 +64,13 @@ def main():
 
     scaler = load_scaler(featdir / "scaler.pkl")
     models = build_models(conf, spkr_size, scaler=scaler)
-    dataloaders = get_dataloaders(conf, scp, scaler, flag=args.flag)
+    # conf-level seed (default 1234 = the reference entry's fixed seeding,
+    # crank/bin/train.py:49-52); the loader keeps its historical seed-0
+    # stream at the default so existing runs/tests are bit-unchanged.
+    # Used by the xfw seed-variance experiments (docs/TRAIN_PARITY.md).
+    seed = int(conf.get("seed", 1234))
+    dataloaders = get_dataloaders(conf, scp, scaler, flag=args.flag,
+                                  seed=seed - 1234)
 
     # initialize / restore
     resume = 0
@@ -102,7 +108,7 @@ def main():
             )
             opts = make_optimizers(conf, list(models.keys()), sched_anchors)
             fresh_params, _ = init_models(
-                models, conf, spkr_size, jax.random.PRNGKey(1234),
+                models, conf, spkr_size, jax.random.PRNGKey(seed),
                 T=dataloaders["batch_len"],
             )
             for m in missing:
@@ -112,7 +118,7 @@ def main():
             opts = make_optimizers(conf, list(models.keys()), sched_anchors)
     else:
         params, ema = init_models(
-            models, conf, spkr_size, jax.random.PRNGKey(1234),
+            models, conf, spkr_size, jax.random.PRNGKey(seed),
             T=dataloaders["batch_len"],
         )
         opts = make_optimizers(conf, list(models.keys()))
@@ -144,6 +150,7 @@ def main():
         writer=writer,
         resume=resume,
         rng_key=rng_key,
+        rng_seed=seed,
         init_state={"params": params, "ema": ema, "opt": opt},
         n_jobs=args.n_jobs,
         sched_anchors=sched_anchors,

@@ -128,10 +128,12 @@ def ref_train(args):
     if args.n_steps:
         conf["n_steps"] = args.n_steps
 
-    # mirror the reference entry's seeding (crank/bin/train.py:49-52)
-    random.seed(1234)
-    np.random.seed(1234)
-    torch.manual_seed(1234)
+    # mirror the reference entry's seeding (crank/bin/train.py:49-52);
+    # --seed varies it for the seed-variance error bar (VERDICT r4 weak #5)
+    seed = getattr(args, "seed", 1234)
+    random.seed(seed)
+    np.random.seed(seed)
+    torch.manual_seed(seed)
 
     scp, featdir = _load_scp(recipe, conf)
     expdir = recipe / "exp" / args.tag
@@ -256,6 +258,17 @@ def transfer(args):
             {"params": params["C"]},
         )
         params["C"] = v["params"]
+    if "D" in ref_models and "D" in params:
+        # adversarial trainers (lsgan/cyclegan/stargan xfw slices): the
+        # reference's D is (Residual)ParallelWaveGANDiscriminator
+        # (crank/bin/train.py:108-128), mapped by the same helpers the
+        # per-step parity tests use
+        mapper = (xfer.pwg_residual_discriminator_to_flax
+                  if conf["use_residual_network"]
+                  else xfer.pwg_discriminator_to_flax)
+        v = xfer.module_to_flax(mapper, ref_models["D"],
+                                {"params": params["D"]})
+        params["D"] = v["params"]
 
     opts = make_optimizers(conf, list(models.keys()))
     out_expdir = recipe / "exp" / args.out
@@ -392,6 +405,9 @@ def main():
     q.add_argument("--conf", default="conf/xfw_vqvae.yml")
     q.add_argument("--tag", default="xfw_ref_torch")
     q.add_argument("--n_steps", type=int, default=None)
+    q.add_argument("--seed", type=int, default=1234,
+                   help="replaces the reference entry's fixed 1234 seeding "
+                        "(crank/bin/train.py:49-52) for seed-variance runs")
     q.set_defaults(fn=ref_train)
 
     q = sub.add_parser("transfer")
