@@ -28,6 +28,38 @@ from pathlib import Path
 from crank_tpu.utils.launcher import Launcher
 
 RELAUNCH = 75  # EX_TEMPFAIL: checkpointed at a resource ceiling, relaunch
+DEVICE_LOST = 76  # EX_PROTOCOL: accelerator stopped answering mid-run
+
+
+def wait_for_device(env, probe_timeout=150, max_wait_s=2400):
+    """Block until the accelerator answers a trivial jit, with backoff.
+
+    Each probe is a fresh subprocess (a wedged PJRT client cannot recover
+    in-process); tunneled pool chips have been observed to come back
+    5-25 minutes after a hang, so the ceiling is generous and a
+    permanently-dead device raises instead of spinning forever."""
+    import time
+
+    probe = ("import numpy as np, jax.numpy as jnp; "
+             "print(np.asarray(jnp.ones(4) + 1.0)[0])")
+    waited, pause = 0.0, 60
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], env=env,
+                timeout=probe_timeout, capture_output=True,
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if waited >= max_wait_s:
+            raise SystemExit(
+                f"accelerator did not answer probes for {waited:.0f}s"
+            )
+        time.sleep(pause)
+        waited += pause
+        pause = min(pause * 1.5, 300)
 
 
 def _wrap(cmd, launcher, job=None):
@@ -277,23 +309,42 @@ def main():
                 "train.log" if seg0 == 0 else f"train.seg{seg0}.log"
         )).exists():
             seg0 += 1
+        device_losses = 0
         for segment in range(seg0, seg0 + 1000):
             log = expdir / confname / (
                 "train.log" if segment == 0 else f"train.seg{segment}.log"
             )
-            code = train_cmd("train", ckpt, log, ok_codes=(0, RELAUNCH))
+            code = train_cmd("train", ckpt, log,
+                             ok_codes=(0, RELAUNCH, DEVICE_LOST))
             if code == 0:
                 break
             latest = find_latest_checkpoint(expdir / confname)
             if latest is None:
-                # exit 75 promises a checkpoint; restarting from scratch
+                # exit 75/76 promise a checkpoint; restarting from scratch
                 # with '--checkpoint None' would silently lose all progress
                 raise SystemExit(
                     "trainer requested a relaunch but no checkpoint exists "
                     f"under {expdir / confname} — aborting (disk full? "
                     "non-writer host?)"
                 )
-            print(f"[run] memory-watchdog relaunch from {latest}")
+            if code == DEVICE_LOST:
+                # accelerator stopped answering (tunnel drop, worker
+                # preemption, pool reclaim) — probe-wait for it to come
+                # back, then resume from the latest checkpoint; bounded so
+                # a permanently-gone device fails loudly instead of
+                # looping forever
+                device_losses += 1
+                if device_losses > 12:
+                    raise SystemExit(
+                        f"device lost {device_losses} times — giving up "
+                        f"(latest checkpoint: {latest})"
+                    )
+                print(f"[run] device lost (#{device_losses}); waiting for "
+                      "the accelerator to answer a probe ...")
+                wait_for_device(env)
+                print(f"[run] device back; resuming from {latest}")
+            else:
+                print(f"[run] memory-watchdog relaunch from {latest}")
             ckpt = str(latest)
 
     if stage_in(4):
@@ -351,7 +402,9 @@ def main():
             def voc_train_cmd(log, extra=()):
                 # segmented (memory-watchdog) training: exit RELAUNCH =
                 # checkpointed, run again (the CLI auto-resumes from the
-                # latest checkpoint in the expdir)
+                # latest checkpoint in the expdir); exit DEVICE_LOST =
+                # probe-wait for the accelerator first
+                losses = 0
                 for segment in range(1000):
                     seg_log = log if segment == 0 else Path(
                         f"{log}.seg{segment}")
@@ -359,10 +412,20 @@ def main():
                         py + ["crank_tpu.bin.vocoder_train", "--conf", conf,
                               "--scpdir", scpdir, "--featdir", featdir,
                               "--expdir", voc_expdir, *extra],
-                        seg_log, L, env, ok_codes=(0, RELAUNCH),
+                        seg_log, L, env,
+                        ok_codes=(0, RELAUNCH, DEVICE_LOST),
                     )
                     if code == 0:
                         return
+                    if code == DEVICE_LOST:
+                        losses += 1
+                        if losses > 12:
+                            raise SystemExit(
+                                f"device lost {losses} times during "
+                                "vocoder training — giving up")
+                        print(f"[run] device lost (#{losses}) in vocoder "
+                              "training; probing ...")
+                        wait_for_device(env)
 
             # pretrain on natural pairs, then fine-tune on stage-4 dumps.
             # Both invocations auto-resume from the latest checkpoint and

@@ -19,6 +19,7 @@ import jax
 faulthandler.register(signal.SIGUSR1, all_threads=True)
 
 from crank_tpu.features.scaler import load_scaler
+from crank_tpu.parallel.mesh import DeviceLostError
 from crank_tpu.train.checkpoint import find_latest_checkpoint, load_checkpoint
 from crank_tpu.train.dataset import get_dataloaders
 from crank_tpu.train.factory import build_models, init_models
@@ -161,7 +162,20 @@ def main():
         # exits EX_TEMPFAIL for the runner's relaunch loop, instead of
         # dying with everything since the last save cadence lost
         signal.signal(signal.SIGTERM, trainer.request_preempt_checkpoint)
-    trainer.run(flag=args.flag)
+    try:
+        trainer.run(flag=args.flag)
+    except DeviceLostError as e:
+        # EX_PROTOCOL(76): the accelerator stopped answering mid-run.
+        # State since the last checkpoint is unrecoverable (it lives on
+        # the lost device); the stage runner probe-waits for the device
+        # and relaunches from the latest checkpoint (bin/run.py).
+        logging.error("device lost: %s", e)
+        sys.exit(76)
+    except Exception as e:  # jax runtime "UNAVAILABLE: TPU worker ..."
+        if "UNAVAILABLE" in str(e):
+            logging.error("device lost (runtime UNAVAILABLE): %s", e)
+            sys.exit(76)
+        raise
     if trainer.hit_memory_watchdog:
         # EX_TEMPFAIL: checkpointed at the host-memory ceiling; the stage
         # runner relaunches from the checkpoint (segmented training)

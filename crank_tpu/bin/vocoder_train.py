@@ -78,7 +78,17 @@ def main():
     if args.finetune and n_steps is None:
         c = trainer.conf
         n_steps = c["n_steps"] + c.get("finetune_steps", 50000)
-    trainer.train(dataset, n_steps=n_steps)
+    try:
+        trainer.train(dataset, n_steps=n_steps)
+    except Exception as e:
+        from crank_tpu.parallel.mesh import DeviceLostError
+
+        # exit 76 = accelerator lost; the stage runner probe-waits and
+        # relaunches from the latest checkpoint (bin/run.py stage 6)
+        if isinstance(e, DeviceLostError) or "UNAVAILABLE" in str(e):
+            logging.error("device lost: %s", e)
+            sys.exit(76)
+        raise
     if trainer.hit_memory_watchdog:
         sys.exit(75)  # EX_TEMPFAIL: checkpointed, caller should relaunch
 

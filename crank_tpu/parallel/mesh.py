@@ -9,6 +9,7 @@ v5e-8, or multi-slice.  A 'model' axis is reserved in the mesh signature for
 future tensor parallelism (models here are <10M params, so it stays size 1).
 """
 
+import os
 from typing import Optional
 
 import jax
@@ -66,15 +67,65 @@ def local_rows(arr) -> np.ndarray:
     return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 
-def fetch_replicated(tree):
+class DeviceLostError(RuntimeError):
+    """The accelerator stopped answering (tunnel drop, worker preemption,
+    pool reclaim).  Raised by fetch_replicated when a device->host readback
+    exceeds CRANK_TPU_FETCH_TIMEOUT_S; the train CLI converts it (and
+    jax's UNAVAILABLE runtime errors) to exit code 76 so the stage
+    runner's relaunch loop can probe-wait for the device and resume from
+    the latest checkpoint (crank_tpu/bin/run.py).  The reference has no
+    failure-recovery story at all — a wedged CUDA context kills the run."""
+
+
+# 0 disables.  A healthy readback is ms (the async dispatch pipeline in
+# front of it is at most seconds); observed tunnel hangs are indefinite,
+# so the default only needs to be above any legitimate drain time.
+FETCH_TIMEOUT_S = float(os.environ.get("CRANK_TPU_FETCH_TIMEOUT_S", "600"))
+
+_fetch_worker = None
+
+
+def fetch_replicated(tree, timeout_s=None):
     """device_get that is safe for replicated arrays on multi-host (plain
-    jax.device_get refuses non-fully-addressable arrays)."""
+    jax.device_get refuses non-fully-addressable arrays).
+
+    The readback runs on a persistent worker thread with a deadline: a
+    blocked C++ transfer cannot be interrupted from Python (signal
+    handlers never run while the fetch holds the calling thread), so the
+    main thread waits with a timeout and abandons the worker on expiry —
+    the process is about to exit 76, taking the wedged runtime with it."""
     def get(x):
         if isinstance(x, jax.Array) and not x.is_fully_addressable:
             return np.asarray(x.addressable_data(0))
         return np.asarray(x)
 
-    return jax.tree_util.tree_map(get, tree)
+    def fetch():
+        return jax.tree_util.tree_map(get, tree)
+
+    t = FETCH_TIMEOUT_S if timeout_s is None else timeout_s
+    if not t or t <= 0:
+        return fetch()
+    global _fetch_worker
+    if _fetch_worker is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _fetch_worker = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="devfetch"
+        )
+    from concurrent.futures import TimeoutError as _FTimeout
+
+    fut = _fetch_worker.submit(fetch)
+    try:
+        return fut.result(timeout=t)
+    except _FTimeout:
+        # the worker thread stays blocked inside the runtime; mark the
+        # executor dead so a (never-expected) later call does not queue
+        # behind it
+        _fetch_worker = None
+        raise DeviceLostError(
+            f"device readback exceeded {t:.0f}s — accelerator lost "
+            "(tunnel drop / worker preemption)"
+        )
 
 
 def replicate(tree, mesh: Mesh):

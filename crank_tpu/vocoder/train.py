@@ -256,7 +256,11 @@ class VocoderTrainer:
             self.state, logs = step_fn(self.state, batch["wav"],
                                        batch["mel"], k)
             if self.steps % c["n_steps_print_loss"] == 0:
-                logs = jax.device_get(logs)
+                # deadline-guarded readback: converts a wedged tunnel into
+                # DeviceLostError -> exit 76 -> stage-runner probe-wait
+                from crank_tpu.parallel.mesh import fetch_replicated
+
+                logs = fetch_replicated(logs)
                 logging.info(
                     "vocoder step %d: %s", self.steps,
                     {k: round(float(v), 4) for k, v in logs.items()},
