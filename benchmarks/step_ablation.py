@@ -127,6 +127,13 @@ def main():
         # (reference trainer_stargan.py:51-118)
         ("stargan", {"trainer_type": "stargan"},
          {"trainer_type": "stargan", "gan_flag": True}),
+        # the flagship mlfb_cycle schedule's steady state past 100k:
+        # cycle AND gan terms in one step (the largest program the
+        # production run compiles; also serves as the cache pre-warm for
+        # the 100k flip — see RESULTS.md round-4/5 notes)
+        ("gan_cycle", {"trainer_type": "lsgan",
+                       "use_cyclic_training": True},
+         {"trainer_type": "lsgan", "gan_flag": True, "cycle_flag": True}),
     ]
     # each variant's precision comes from its conf override; a stray
     # CRANK_TPU_MIXED_PRECISION in the shell would take precedence inside

@@ -168,16 +168,55 @@ class DeviceResidentLoader:
 
     def _batch(self, idxs):
         vl = self.vl
-        p, org, cv, flen = vl._sample_plan(idxs)
         # jit-traceable batch only (DEVICE_KEYS shape): the training step
         # never consumes the host-side label strings the per-item loader
         # carries, so none are attached here.
         return self._assemble(
             self._banks, self._lcf0_raw, self._f0_mean, self._f0_std,
-            idxs.astype(np.int32), p.astype(np.int32),
-            org.astype(np.int32), cv.astype(np.int32),
-            flen.astype(np.int32),
+            *self._plan(idxs),
         )
+
+    def _plan(self, idxs):
+        p, org, cv, flen = self.vl._sample_plan(idxs)
+        return (idxs.astype(np.int32), p.astype(np.int32),
+                org.astype(np.int32), cv.astype(np.int32),
+                flen.astype(np.int32))
+
+    # -- fused-step protocol (the production path) ----------------------
+    #
+    # The trainer fuses batch assembly INTO the train-step program
+    # (trainer._fused_step): each step's jit takes the resident banks plus
+    # five [B] int32 vectors and builds the batch inside the same XLA
+    # program that consumes it.  One dispatch per step, the crop gathers
+    # fuse into their consumers, and no executable ever consumes another
+    # executable's output buffers — which the experimental tunnel backend
+    # was observed to kernel-fault on for the large gan-phase program
+    # (docs/DEVICE_LOADER.md).  assemble_fn stays independently jitted for
+    # the standalone-batch path (tests, bench warm-up); calling it inside
+    # an outer jit inlines it into the caller's program.
+
+    @property
+    def assemble_fn(self):
+        if not self._ready:
+            self._setup()
+        return self._assemble
+
+    @property
+    def bank_args(self):
+        if not self._ready:
+            self._setup()
+        return (self._banks, self._lcf0_raw, self._f0_mean, self._f0_std)
+
+    def iter_plans(self):
+        """Per-batch host-side sampling plans ([B] int32 vectors)."""
+        if not self._ready:
+            self._setup()
+        vl = self.vl
+        idx = vl.rng.permutation(len(vl.ds))
+        for bi in range(len(self)):
+            yield self._plan(
+                idx[bi * vl.batch_size : (bi + 1) * vl.batch_size]
+            )
 
     def __iter__(self):
         if not self._ready:

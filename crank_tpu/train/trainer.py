@@ -77,10 +77,13 @@ class Trainer:
         self.finish_train = False
         self.preempt_requested = False
         self.hit_memory_watchdog = False
+        import collections
         from concurrent.futures import ThreadPoolExecutor
 
         # one worker: serializes matplotlib use and bounds memory
         self._io_pool = ThreadPoolExecutor(max_workers=1)
+        self._pace_queue = collections.deque()
+        self._fused_cache = {}
 
         self.mesh = mesh or get_mesh()
         self.factory = StepFactory(
@@ -299,30 +302,79 @@ class Trainer:
             return True
         return False
 
-    def _train_iterator(self):
-        """Training batches, device-resident and 'data'-sharded.
+    def _pace_dispatch(self, loss):
+        """Bound the async dispatch queue.
 
-        Preferred path: on-device batch assembly from HBM-resident feature
-        banks (device_loader.py) — each step ships five [B] int vectors
-        instead of ~20 MB of host-assembled tensors, so a small/tunneled
-        host no longer paces the accelerator.  Falls back to the host
-        loader + wire-codec + prefetch pipeline when ineligible
-        (multi-process input sharding, raw waveforms, SpecAugment)."""
+        The device-resident loader removes every natural throttle from the
+        hot loop (the host loader's per-step H2D transfer paced it), so
+        between loss prints the trainer can enqueue n_steps_print_loss
+        assemble+step programs.  Measured on the tunneled v5e: the
+        vqvae/cycle phases absorb that, but the larger gan-phase program
+        under a ~50-deep queue reproducibly crashes the TPU worker
+        (UNAVAILABLE), while the identical step with the naturally-paced
+        host loader completes — see docs/DEVICE_LOADER.md.  Keep a rolling
+        window of per-step loss handles and, every n_steps_pace steps,
+        block (deadline-guarded) on the handle from n_steps_pace steps ago
+        — at most ~2×n_steps_pace steps+batches in flight, one device
+        round trip per n_steps_pace steps (amortized ~3 ms/step at the
+        tunnel's 28 ms RTT)."""
+        pace = int(self.conf.get("n_steps_pace", 8))
+        if pace <= 0:
+            return
+        self._pace_queue.append(loss["G"])
+        if len(self._pace_queue) >= pace:
+            old = self._pace_queue.popleft()
+            if self.steps % pace == 0:
+                fetch_replicated(old)
+
+    def _fused_step(self, mode):
+        """Train step with on-device batch assembly fused INTO the jit.
+
+        Used with the device-resident loader: the program takes the
+        HBM-resident feature banks plus five [B] int32 plan vectors and
+        builds the batch inside the same XLA program that consumes it.
+        One dispatch per step, the crop gathers fuse into their
+        consumers, and no executable consumes another executable's
+        output buffers — the separate-assemble-program variant was
+        observed to kernel-fault the experimental tunnel backend on the
+        large gan-phase program while this fused form (and the same
+        values via device_put) run clean (docs/DEVICE_LOADER.md)."""
+        key = ("fused", mode)
+        if key in self._fused_cache:
+            return self._fused_cache[key]
+        step = self.factory.make_step(mode)  # inlines inside the outer jit
+        assemble = self.dataloaders["train"].assemble_fn
+
+        def fused(state, banks, lcf0_raw, f0_mean, f0_std, plan, rng):
+            batch = assemble(banks, lcf0_raw, f0_mean, f0_std, *plan)
+            return step(state, batch, rng)
+
+        fn = jax.jit(fused, donate_argnums=(0,))
+        self._fused_cache[key] = fn
+        return fn
+
+    def _tr_epoch(self):
         from crank_tpu.train.device_loader import maybe_device_loader
 
         train = maybe_device_loader(
             self.dataloaders["train"], self.mesh, self.conf
         )
         self.dataloaders["train"] = train
-        if getattr(train, "device_resident", False):
-            return iter(train)
-        return self._prefetch(train)
-
-    def _tr_epoch(self):
-        for dev_batch in self._train_iterator():
+        fused_path = getattr(train, "device_resident", False)
+        it = train.iter_plans() if fused_path else self._prefetch(train)
+        for item in it:
             self._maybe_profile()
-            step_fn = self.factory.make_step(self._mode())
-            self.state, loss = step_fn(self.state, dev_batch, self._next_rng())
+            if fused_path:
+                step_fn = self._fused_step(self._mode())
+                self.state, loss = step_fn(
+                    self.state, *train.bank_args, item, self._next_rng()
+                )
+            else:
+                step_fn = self.factory.make_step(self._mode())
+                self.state, loss = step_fn(
+                    self.state, item, self._next_rng()
+                )
+            self._pace_dispatch(loss)
             if self.steps % self.conf["n_steps_print_loss"] == 0:
                 loss = fetch_replicated(loss)
                 self._print_loss(loss, phase="train")

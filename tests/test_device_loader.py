@@ -135,3 +135,51 @@ def test_eligibility_gates(tmp_path):
     aug["device_loader"] = True
     with pytest.raises(ValueError):
         maybe_device_loader(vl, mesh, aug)
+
+
+def test_fused_step_matches_prestaged(tmp_path):
+    """The production path fuses assembly INTO the train-step jit
+    (trainer._fused_step); its losses must equal running the same step on
+    the separately-assembled batch (same plan, same state, same rng)."""
+    from crank_tpu.train.factory import build_models, init_models
+    from crank_tpu.train.optim import make_optimizers
+    from crank_tpu.train.steps import Mode, StepFactory
+    from crank_tpu.parallel.mesh import replicate
+
+    scp, scaler = _corpus(tmp_path)
+    conf = make_conf()
+    mesh = get_mesh()
+    ds = VCDataset(conf, scp, scaler, phase="train", seed=0)
+    dev = DeviceResidentLoader(
+        VectorizedLoader(ds, batch_size=BATCH_SIZE, seed=3), mesh, conf
+    )
+    spkr_size = len(SPKRS)
+    models = build_models(conf, spkr_size)
+    params, ema = init_models(models, conf, spkr_size,
+                              jax.random.PRNGKey(0), B=2, T=BATCH_LEN)
+    opts = make_optimizers(conf, list(models.keys()))
+    state = {"params": params, "ema": ema,
+             "opt": {m: opts[m].init(params[m]) for m in models}}
+    state = {k: replicate(v, mesh) for k, v in state.items()}
+    state2 = jax.tree_util.tree_map(lambda x: x + 0, state)
+
+    factory = StepFactory(conf, models, opts, spkr_size=spkr_size)
+    step = factory.make_step(Mode(trainer_type="vqvae"))
+    assemble = dev.assemble_fn
+    plan = next(dev.iter_plans())
+    key = jax.random.PRNGKey(5)
+
+    def fused(state, banks, lcf0_raw, f0_mean, f0_std, plan, rng):
+        batch = assemble(banks, lcf0_raw, f0_mean, f0_std, *plan)
+        return step(state, batch, rng)
+
+    fused = jax.jit(fused, donate_argnums=(0,))
+    _, loss_f = fused(state, *dev.bank_args, plan, key)
+
+    batch = assemble(*dev.bank_args, *plan)
+    _, loss_s = step(state2, batch, key)
+    for k in loss_f:
+        np.testing.assert_allclose(
+            np.asarray(loss_f[k]), np.asarray(loss_s[k]),
+            rtol=1e-6, atol=1e-6, err_msg=k,
+        )
