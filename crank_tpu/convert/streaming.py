@@ -88,8 +88,11 @@ class StreamingConverter:
         enc_h0, dec_h0, spkrvec0 = self._condition(
             np.zeros((B, T, 1), np.float32), np.zeros((B, T, 1), np.float32)
         )
-        variables = self.model.init(
-            jax.random.PRNGKey(0), x0, enc_h0, dec_h0, spkrvec0, train=False
+        from crank_tpu.train.factory import jit_init
+
+        variables = jit_init(
+            self.model, jax.random.PRNGKey(0), x0, enc_h0, dec_h0, spkrvec0,
+            train=False,
         )
         # init's forward pass already advanced the buffers — a fresh stream
         # starts from zeros (matching offline causal zero-padding)
@@ -97,7 +100,13 @@ class StreamingConverter:
             jnp.zeros_like, variables["cache"]
         )
         self.cache = self._cache0
-        self._params = params
+        # Resident weights: checkpoint loaders hand back NUMPY trees, and a
+        # numpy argument to a jitted call is re-uploaded on EVERY call —
+        # measured 270-540 ms/chunk over the tunnel (~6 MB of vocoder
+        # weights per chunk) vs the 26 ms RTT floor with device-resident
+        # params.  Pin them to the device once here.
+        self._params = jax.device_put(params)
+        self._ema = jax.device_put(self._ema)
 
         model = self.model
         has_ema = ema is not None
@@ -142,7 +151,9 @@ class StreamingConverter:
             # noise is fold_in(key, counter) so streams are reproducible
             synth_state0 = (voc_cache0, jnp.zeros((), jnp.int32))
             voc_key = jax.random.PRNGKey(voc_seed)
-            self._synth_params = voc_params
+            # device-resident like self._params (same per-call re-upload
+            # trap for checkpoint-loaded numpy trees)
+            self._synth_params = jax.device_put(voc_params)
         self._synth_state0 = synth_state0
         self._synth_state = synth_state0
         hop = self._hop

@@ -87,7 +87,9 @@ class MOSNetPredictor:
                 ".npz and pass its path."
             )
             dummy = jnp.zeros((1, 16, 257))
-            self.params = self.model.init(jax.random.PRNGKey(0), dummy)[
+            from crank_tpu.train.factory import jit_init
+
+            self.params = jit_init(self.model, jax.random.PRNGKey(0), dummy)[
                 "params"
             ]
         self._fwd = jax.jit(

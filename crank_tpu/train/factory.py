@@ -89,6 +89,16 @@ def example_g_inputs(conf, spkr_size, B=2, T=None):
     return x, enc_h, dec_h, spkrvec
 
 
+def jit_init(module, *args, **kwargs):
+    """``module.init`` under one jit.
+
+    Eager flax init dispatches every op separately; on a remote/tunneled
+    backend each becomes its own XLA compile + RPC (measured: ~450
+    op-compiles ≈ minutes of wall time for a model + vocoder init in the
+    streaming CLI).  One traced program compiles once and runs in ms."""
+    return jax.jit(lambda *a: module.init(*a, **kwargs))(*args)
+
+
 def init_models(models, conf, spkr_size, rng, B=2, T=None):
     """Initialize all model variables; returns (params dict, ema collection)."""
     T = T or conf["batch_len"]
@@ -96,7 +106,7 @@ def init_models(models, conf, spkr_size, rng, B=2, T=None):
     params, ema = {}, {}
 
     x, enc_h, dec_h, spkrvec = example_g_inputs(conf, spkr_size, B, T)
-    g_vars = models["G"].init(keys[0], x, enc_h, dec_h, spkrvec)
+    g_vars = jit_init(models["G"], keys[0], x, enc_h, dec_h, spkrvec)
     params["G"] = g_vars["params"]
     ema = g_vars.get("ema", {})
 
@@ -105,11 +115,11 @@ def init_models(models, conf, spkr_size, rng, B=2, T=None):
             jnp.zeros((B, T, conf["emb_dim"][n]))
             for n in range(conf["n_vq_stacks"])
         ]
-        params["SPKRADV"] = models["SPKRADV"].init(keys[1], enc)["params"]
+        params["SPKRADV"] = jit_init(models["SPKRADV"], keys[1], enc)["params"]
 
     if "C" in models:
-        params["C"] = models["C"].init(
-            keys[2], jnp.zeros((B, T, conf["input_size"]))
+        params["C"] = jit_init(
+            models["C"], keys[2], jnp.zeros((B, T, conf["input_size"]))
         )["params"]
 
     if "D" in models:
@@ -122,5 +132,7 @@ def init_models(models, conf, spkr_size, rng, B=2, T=None):
                 if conf["use_spkr_embedding"]
                 else spkr_size
             )
-        params["D"] = models["D"].init(keys[3], jnp.zeros((B, T, in_ch)))["params"]
+        params["D"] = jit_init(
+            models["D"], keys[3], jnp.zeros((B, T, in_ch))
+        )["params"]
     return params, ema

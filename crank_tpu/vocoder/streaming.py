@@ -56,7 +56,9 @@ def build_streaming_vocoder(
     z0 = jnp.zeros((batch, chunk_frames * hop), jnp.float32)
     c0 = jnp.zeros((batch, chunk_frames, c.get("aux_channels", 80)),
                    jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), z0, c0)
+    from crank_tpu.train.factory import jit_init
+
+    variables = jit_init(model, jax.random.PRNGKey(0), z0, c0)
     cache0 = jax.tree_util.tree_map(jnp.zeros_like, variables["cache"])
     return model, cache0
 

@@ -141,12 +141,14 @@ class VocoderTrainer:
         key = jax.random.PRNGKey(seed)
         kg, kd = jax.random.split(key)
         if resume_state is None:
-            pg = self.g.init(
-                kg, jnp.zeros((1, L)),
+            from crank_tpu.train.factory import jit_init
+
+            pg = jit_init(
+                self.g, kg, jnp.zeros((1, L)),
                 jnp.zeros((1, c["batch_max_frames"],
                            c.get("aux_channels", 80))),
             )["params"]
-            pd = self.d.init(kd, jnp.zeros((1, L, 1)))["params"]
+            pd = jit_init(self.d, kd, jnp.zeros((1, L, 1)))["params"]
             self.opt_g = optax.adam(c["generator_lr"])
             self.opt_d = optax.adam(c["discriminator_lr"])
             state = {

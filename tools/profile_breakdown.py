@@ -78,13 +78,15 @@ def summarize(xplane_path: Path):
         meta = plane.event_metadata
         by_name = collections.Counter()
         n_events = collections.Counter()
+        async_by_name = collections.Counter()
         span_lo, span_hi = None, 0
         busy_by_line = {}
         for line in plane.lines:
             lname = line.name or str(line.id)
-            # device planes carry one op-timeline line per core plus
-            # bookkeeping lines (step markers); aggregate ops from all,
-            # busy time from the busiest line
+            # synchronous op timelines feed the category table; the
+            # async-DMA line (overlapping events) is tallied separately
+            is_async = "Async" in lname
+            is_ops = "Ops" in lname or "Modules" not in lname
             busy = 0
             for ev in line.events:
                 m = meta.get(ev.metadata_id)
@@ -93,15 +95,22 @@ def summarize(xplane_path: Path):
                 start = line.timestamp_ns * 1000 + ev.offset_ps
                 span_lo = start if span_lo is None else min(span_lo, start)
                 span_hi = max(span_hi, start + dur)
-                by_name[name] += dur
-                n_events[name] += 1
+                if is_async:
+                    async_by_name[name] += dur
+                elif is_ops and "Steps" not in lname:
+                    by_name[name] += dur
+                    n_events[name] += 1
                 busy += dur
             busy_by_line[lname] = busy
         if not by_name:
             continue
-        # step markers duplicate op time; keep the line-level busy numbers
-        # but compute the op-category table from XLA op names only
-        total_busy = max(busy_by_line.values())
+        # busy fraction comes from the synchronous op timeline ("XLA Ops");
+        # the "Async XLA Ops" line holds overlapping DMA-queue events whose
+        # summed duration legitimately exceeds the window and the "Steps"
+        # line spans everything — neither measures compute occupancy
+        total_busy = busy_by_line.get("XLA Ops") or max(
+            v for k, v in busy_by_line.items() if "Async" not in k
+        )
         span = (span_hi - span_lo) if span_lo is not None else 0
         cat = collections.Counter()
         for name, dur in by_name.items():
@@ -118,6 +127,8 @@ def summarize(xplane_path: Path):
             "by_category_ms": {
                 k: round(v / 1e9, 3) for k, v in cat.most_common()
             },
+            "async_dma_ms": round(
+                sum(async_by_name.values()) / 1e9, 3),
             "top_ops": [
                 {"name": n[:120], "ms": round(d / 1e9, 3),
                  "count": n_events[n]} for n, d in top
